@@ -1,0 +1,280 @@
+"""Reference-compatible single-tile API: :class:`DEMProcessor`.
+
+Drop-in analog of ``/root/reference/pydem/dem_processing.py:98-1709``'s
+``DEMProcessor``: same constructor conventions (file or in-memory array, dX/dY
+as scalars or per-row arrays), same public methods (``calc_fill_flats``,
+``calc_pit_drain_paths``, ``calc_slopes_directions``, ``calc_uca``,
+``calc_twi``, ``find_flats``), same tunables and defaults.  The compute path
+is the TPU-native engine: slope/UCA/TWI run as jitted stencil programs
+(``pydem_tpu.core``); conditioning runs host-side (``core.conditioning``).
+
+State arrays (`elev`, `mag`, `direction`, `uca`, `twi`, `flats`, `section`,
+`proportion`) are exposed as numpy arrays for interoperability.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax.numpy as jnp
+
+import jax
+
+from .core import conditioning as cond
+from .core.receivers import receiver_weights, section_proportion
+from .core.slope_direction import find_flats_edges, slopes_directions
+from .core.uca import accumulate, base_area, finalize_uca, seeds_and_edge_todo
+from .io.geotiff import read_geotiff_kwargs
+
+FLAT_ID_INT = -1
+
+
+@jax.jit
+def _slope_program(elev, dX, dY):
+    """mag/direction + downstream-extended flats, as one compiled program."""
+    mag, direction = slopes_directions(elev, dX, dY)
+    flats = find_flats_edges(elev, mag, direction)
+    direction = jnp.where(flats, FLAT_ID_INT, direction)
+    mag = jnp.where(flats, FLAT_ID_INT, mag)
+    return mag, direction, flats
+
+
+@jax.jit
+def _section_program(direction, flats, dX, dY):
+    return section_proportion(direction, flats, dX, dY)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "check_every", "has_pits"))
+def _uca_program(elev, section, proportion, flats2, dX2, dY2,
+                 pit_src, pit_dst, pit_w, has_pits,
+                 max_iters, check_every):
+    W = receiver_weights(section, proportion, elev)
+    base = base_area(dX2, dY2, elev.shape, elev.dtype)
+    min_area = jnp.nanmin(base)
+    if not has_pits:
+        pit_src = pit_dst = pit_w = None
+    area, n_sweeps = accumulate(base, W, pit_src, pit_dst, pit_w,
+                                max_iters=max_iters, check_every=check_every)
+    area = finalize_uca(area, flats2)
+    edge_todo = seeds_and_edge_todo(W, section, elev)
+    return area, n_sweeps, min_area, edge_todo
+
+
+def _pad_pits(pit_src, pit_dst, pit_w):
+    """Pad pit-link triples to a power-of-two bucket so the jitted UCA
+    program recompiles O(log P) times, not once per pit count.  Padding
+    entries have weight 0 (no-ops in the scatter)."""
+    p = len(pit_src)
+    cap = 1
+    while cap < p:
+        cap *= 2
+    pad = cap - p
+    return (np.concatenate([pit_src, np.zeros(pad, "int64")]),
+            np.concatenate([pit_dst, np.zeros(pad, "int64")]),
+            np.concatenate([pit_w, np.zeros(pad, "float64")]))
+
+
+class DEMProcessor:
+    """Compute D∞ slope/aspect, UCA, and TWI for one elevation raster."""
+
+    # conditioning tunables (dem_processing.py:105-127 defaults)
+    fill_flats = True
+    fill_flats_below_sea = False
+    fill_flats_source_tol = 1
+    fill_flats_peaks = True
+    fill_flats_pits = True
+    fill_flats_max_iter = 10
+
+    drain_pits = True
+    drain_pits_path = True
+    drain_pits_min_border = False
+    drain_pits_spill = False
+    drain_flats = False
+    drain_pits_max_iter = 300
+    drain_pits_max_dist = 32
+    drain_pits_max_dist_XY = None
+
+    apply_uca_limit_edges = False
+    apply_twi_limits = False
+    apply_twi_limits_on_uca = False
+
+    uca_saturation_limit = 32
+    twi_min_slope = 1e-3
+    maximum_pit_area = 32
+    circular_ref_maxcount = 50
+
+    # UCA solver controls (new; no reference analog)
+    uca_check_every = 4
+    uca_max_iters = 1_000_000
+
+    CONFIG_KEYS = [
+        "fill_flats", "fill_flats_below_sea", "fill_flats_source_tol",
+        "fill_flats_peaks", "fill_flats_pits", "fill_flats_max_iter",
+        "drain_pits", "drain_pits_path", "drain_pits_min_border",
+        "drain_pits_spill", "drain_flats", "drain_pits_max_iter",
+        "drain_pits_max_dist", "drain_pits_max_dist_XY",
+        "apply_uca_limit_edges", "apply_twi_limits", "apply_twi_limits_on_uca",
+        "uca_saturation_limit", "twi_min_slope", "maximum_pit_area",
+        "circular_ref_maxcount", "uca_check_every", "uca_max_iters",
+    ]
+
+    def __init__(self, elev_fn=None, **kwargs):
+        if elev_fn:
+            kwds = read_geotiff_kwargs(elev_fn)
+            kwds.update(kwargs)
+            kwargs = kwds
+
+        elev = np.asarray(kwargs.pop("elev"))
+        if np.ma.isMaskedArray(elev):
+            elev = np.ma.filled(elev.astype("float64"), np.nan)
+        self.elev = np.asarray(elev, dtype="float64")
+        n = self.elev.shape[0]
+
+        dX = kwargs.pop("dX", None)
+        dY = kwargs.pop("dY", None)
+        dX2 = kwargs.pop("dX2", None)
+        dY2 = kwargs.pop("dY2", None)
+        if not isinstance(dX, np.ndarray):
+            if dX2 is None:
+                dX2 = np.ones(n) * (1 if dX is None else dX)
+            dX = np.ones(n - 1) * (1 if dX is None else dX)
+        if not isinstance(dY, np.ndarray):
+            if dY2 is None:
+                dY2 = np.ones(n) * (1 if dY is None else dY)
+            dY = np.ones(n - 1) * (1 if dY is None else dY)
+        if dX2 is None:
+            dX2 = np.ones(n)
+        if dY2 is None:
+            dY2 = np.ones(n)
+        self.dX, self.dY = np.asarray(dX, "float64"), np.asarray(dY, "float64")
+        self.dX2, self.dY2 = np.asarray(dX2, "float64"), np.asarray(dY2, "float64")
+
+        self.bounds = kwargs.pop("bounds", None)
+        self.transform = kwargs.pop("transform", None)
+
+        self.direction = kwargs.pop("direction", None)
+        self.mag = kwargs.pop("mag", None)
+        self.uca = kwargs.pop("uca", None)
+        self.twi = kwargs.pop("twi", None)
+        self.flats = kwargs.pop("flats", None)
+        self.section = None
+        self.proportion = None
+        self.edge_todo = None
+        self.edge_done = None
+        self.twi_min_area = np.inf
+
+        for key, val in kwargs.items():
+            if key not in self.CONFIG_KEYS:
+                raise TypeError("Unknown DEMProcessor option %r" % key)
+            setattr(self, key, val)
+
+    # -- conditioning ------------------------------------------------------
+
+    def calc_fill_flats(self):
+        self.elev = cond.fill_flats(
+            self.elev,
+            source_tol=self.fill_flats_source_tol,
+            fill_peaks=self.fill_flats_peaks,
+            fill_pits=self.fill_flats_pits,
+            below_sea=self.fill_flats_below_sea,
+            maximum_pit_area=self.maximum_pit_area,
+        )
+        return self.elev
+
+    def calc_pit_drain_paths(self):
+        self.elev = cond.drain_pit_paths(
+            self.elev, self.dX, self.dY,
+            max_iter=self.drain_pits_max_iter,
+            max_dist=self.drain_pits_max_dist,
+            max_dist_XY=self.drain_pits_max_dist_XY,
+            below_sea=self.fill_flats_below_sea,
+        )
+        return self.elev
+
+    # -- slope / direction -------------------------------------------------
+
+    def calc_slopes_directions(self):
+        if self.fill_flats:
+            self.calc_fill_flats()
+        if self.drain_pits_path:
+            self.calc_pit_drain_paths()
+
+        mag, direction, flats = _slope_program(
+            jnp.asarray(self.elev), jnp.asarray(self.dX), jnp.asarray(self.dY))
+
+        self.mag = np.asarray(mag)
+        self.direction = np.asarray(direction)
+        self.flats = np.asarray(flats)
+        return self.mag, self.direction
+
+    def find_flats(self):
+        self.flats = self.mag == FLAT_ID_INT
+
+    # -- UCA ---------------------------------------------------------------
+
+    def calc_uca(self, plotflag=False, edge_init_data=None, uca_init=None):
+        if self.direction is None:
+            self.calc_slopes_directions()
+        if edge_init_data is not None or uca_init is not None:
+            raise NotImplementedError(
+                "Per-tile incremental edge updates are replaced by the "
+                "sharded global solve; see pydem_tpu.parallel / ProcessManager.")
+
+        section, proportion = _section_program(
+            jnp.asarray(self.direction), jnp.asarray(self.flats),
+            jnp.asarray(self.dX), jnp.asarray(self.dY))
+        self.section = np.asarray(section)
+        self.proportion = np.asarray(proportion)
+
+        pit_src = pit_dst = pit_w = np.zeros(0)
+        flats2, mag2 = self.flats, self.mag
+        if self.drain_pits:
+            pit_src, pit_dst, pit_w, flats2, mag2 = cond.connectivity_pits(
+                self.flats, self.elev, self.mag, self.dX, self.dY,
+                max_iter=self.drain_pits_max_iter,
+                max_dist=self.drain_pits_max_dist,
+                max_dist_XY=self.drain_pits_max_dist_XY,
+                min_border=self.drain_pits_min_border,
+            )
+            keep = pit_w > 1e-8  # adjacency pruning, dem_processing.py:1136
+            pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
+
+        has_pits = pit_src.size > 0
+        pit_src, pit_dst, pit_w = _pad_pits(pit_src, pit_dst, pit_w)
+
+        area, n_sweeps, min_area, edge_todo = _uca_program(
+            jnp.asarray(self.elev), section, proportion, jnp.asarray(flats2),
+            jnp.asarray(self.dX2), jnp.asarray(self.dY2),
+            jnp.asarray(pit_src), jnp.asarray(pit_dst), jnp.asarray(pit_w),
+            has_pits, self.uca_max_iters, self.uca_check_every)
+        self.uca_sweeps = int(n_sweeps)
+        self.twi_min_area = min(self.twi_min_area, float(min_area))
+
+        self.uca = np.asarray(area)
+        self.mag = np.asarray(mag2)
+        self.flats = np.asarray(flats2)
+
+        self.edge_todo = np.asarray(edge_todo)
+        self.edge_done = ~self.edge_todo
+        return self.uca
+
+    # -- TWI ---------------------------------------------------------------
+
+    def calc_twi(self):
+        if self.uca is None:
+            self.calc_uca()
+        min_area = self.twi_min_area
+        min_slope = self.twi_min_slope
+        twi = self.uca.copy()
+        if self.apply_twi_limits_on_uca:
+            twi[twi > self.uca_saturation_limit * min_area] = \
+                self.uca_saturation_limit * min_area
+        with np.errstate(invalid="ignore", divide="ignore"):
+            twi = np.log(twi / (self.mag + min_slope))
+        if self.apply_twi_limits:
+            sat = np.log(self.uca_saturation_limit * min_area / min_slope)
+            twi[twi > sat] = sat
+        # store ×10 for integer-resolution storage, return unscaled — the
+        # reference does exactly this (dem_processing.py:1662-1677)
+        self.twi = twi * 10
+        return twi

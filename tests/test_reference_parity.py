@@ -1,0 +1,75 @@
+"""Golden parity vs the reference implementation.
+
+Runs the *actual* reference pyDEM (from /root/reference, via tools/oracle.py
+stubs + a pure-python port of its Cython kernel) side by side with pydem_tpu
+on the analytic fixture suite, comparing every pipeline stage:
+conditioned elevation, slope magnitude, direction, flats, UCA, and TWI.
+
+This is the reference's own test philosophy (exact-value + fixture DEMs,
+test_end_to_end.py) extended to full-field golden comparison.
+"""
+import numpy as np
+import pytest
+
+from pydem_tpu import DEMProcessor, fixtures
+
+oracle = pytest.importorskip("oracle")
+
+# Fixture cases by regime (utils_test_pydem.py:426-488):
+#  ramps/cone (smooth), flats (ring/top/line), pits, masked/no-data, spiral.
+CASES = [0, 1, 3, 5, 8, 9, 11, 13, 14, 18, 20, 23, 24, 26, 28, 29, 30, 33]
+N = 16
+
+
+def _both(testnum, NN=N, **opts):
+    elev, _ang, _uca = fixtures.get_test_case(testnum, NN)
+    ref = oracle.reference_processor(elev.copy(), **opts)
+    mine = DEMProcessor(elev=elev.copy(), **opts)
+    return ref, mine
+
+
+def _cmp(a, b, name, case, decimal=10):
+    np.testing.assert_array_almost_equal(
+        np.asarray(a, "float64"), np.asarray(b, "float64"), decimal=decimal,
+        err_msg="case %s: %s mismatch" % (case, name))
+
+
+@pytest.mark.parametrize("testnum", CASES)
+def test_full_chain_parity(testnum):
+    ref, mine = _both(testnum)
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rmag, rang = ref.calc_slopes_directions()
+        mmag, mang = mine.calc_slopes_directions()
+
+        _cmp(ref.elev, mine.elev, "conditioned elev", testnum)
+        _cmp(rmag, mmag, "mag", testnum)
+        _cmp(rang, mang, "direction", testnum)
+        _cmp(ref.flats, mine.flats, "flats", testnum)
+
+        ruca = ref.calc_uca()
+        muca = mine.calc_uca()
+        _cmp(ruca, muca, "uca", testnum, decimal=8)
+        _cmp(ref.mag, mine.mag, "mag post-pits", testnum)
+
+        rtwi = ref.calc_twi()
+        mtwi = mine.calc_twi()
+        _cmp(rtwi, mtwi, "twi", testnum, decimal=8)
+
+
+@pytest.mark.parametrize("testnum", [0, 13, 24, 30])
+def test_no_conditioning_parity(testnum):
+    """fill_flats=False + drain_pits_path=False exercises the raw stencil."""
+    ref, mine = _both(testnum, fill_flats=False, drain_pits_path=False)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rmag, rang = ref.calc_slopes_directions()
+        mmag, mang = mine.calc_slopes_directions()
+        _cmp(rmag, mmag, "mag", testnum)
+        _cmp(rang, mang, "direction", testnum)
+        ruca = ref.calc_uca()
+        muca = mine.calc_uca()
+        _cmp(ruca, muca, "uca", testnum, decimal=8)
