@@ -48,7 +48,7 @@ def section_proportion(direction, flats, dX, dY):
     pi = np.pi
 
     quad_idx = jnp.floor(direction / pi * 2.0).astype(jnp.int32)
-    quadrant = direction - pi / 2.0 * quad_idx
+    quadrant = direction - quad_idx.astype(direction.dtype) * (pi / 2.0)
 
     even = quad_idx % 2 == 0
     section = (

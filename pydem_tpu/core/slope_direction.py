@@ -134,7 +134,8 @@ def _apply_facets(elev, mag, direction, dists, masks):
         d1, d2 = dists[ind]
         rad2, r = _facet_candidates(elev, d1, d2, ind)
         upd = masks[ind] & (rad2 > mag)
-        adj0, adj1 = ANG_ADJ[ind]
+        # python ints keep weak typing: numpy scalars would promote f32->f64
+        adj0, adj1 = int(ANG_ADJ[ind][0]), int(ANG_ADJ[ind][1])
         ang = r * adj1 + adj0 * (np.pi / 2)
         mag = jnp.where(upd, rad2, mag)
         direction = jnp.where(upd, ang, direction)
