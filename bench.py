@@ -1,0 +1,122 @@
+"""Benchmark: grid-points/sec/chip for the full device chain
+(D∞ slope/direction + flats + UCA-to-convergence + TWI).
+
+Runs on whatever platform the environment provides (the driver provides one
+real TPU chip via the 'axon' platform; falls back to CPU).  Prints ONE JSON
+line:
+
+    {"metric": ..., "value": N, "unit": "px/s", "vs_baseline": R}
+
+vs_baseline is measured against the *reference implementation's* throughput
+(numpy pipeline + its Cython wavefront kernel re-created in C++ at -O3 via
+tools/oracle.py) on this machine's CPU at 1024², the largest size where the
+reference finishes quickly.  Ratio > 1 means pydem_tpu is faster per chip
+than pyDEM per CPU.  The reference publishes no benchmark numbers of its own
+(BASELINE.md), so this measured baseline is the comparison standard.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+
+N_TPU = int(os.environ.get("PYDEM_BENCH_N", 2048))
+N_REF = int(os.environ.get("PYDEM_BENCH_REF_N", 1024))
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "baseline_cache.json")
+
+
+def make_cone(n, dtype="float32"):
+    x, y = np.mgrid[-1:1:complex(0, n), -1:1:complex(0, n)]
+    elev = 1 - np.sqrt(x**2 + y**2) / np.sqrt(2.0)
+    return (elev - elev.min() + 0.05).astype(dtype)
+
+
+def bench_tpu(n):
+    import jax
+    import jax.numpy as jnp
+    from pydem_tpu.parallel.sharded import terrain_step
+
+    elev = jnp.asarray(make_cone(n))
+    dX = jnp.ones(n - 1, jnp.float32)
+    dY = jnp.ones(n - 1, jnp.float32)
+    dX2 = jnp.ones(n, jnp.float32)
+    dY2 = jnp.ones(n, jnp.float32)
+
+    # Measurement notes: each rep perturbs the input (defeats any remote
+    # result caching) and syncs on a scalar that depends on the whole UCA
+    # loop (uca_sweeps), so timing covers real execution without paying the
+    # full device->host canvas transfer per rep.
+    eps = [jnp.float32(1e-6 * (i + 1)) for i in range(8)]
+    out = terrain_step(elev + eps[-1], dX, dY, dX2, dY2)
+    np.asarray(out["uca"])  # warm compile + one full transfer
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = terrain_step(elev + eps[i], dX, dY, dX2, dY2)
+        sweeps = int(out["uca_sweeps"])  # scalar sync
+    dt = (time.perf_counter() - t0) / reps
+    dev = jax.devices()[0]
+    return n * n / dt, dt, sweeps, str(dev.platform)
+
+
+def bench_reference(n):
+    """Reference pipeline throughput on this host (slope + UCA + TWI)."""
+    import warnings
+
+    import oracle
+
+    if oracle._load_native() is None:
+        return None
+    elev = make_cone(n, "float64")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = oracle.reference_processor(
+            elev, fill_flats=False, drain_pits_path=False)
+        t0 = time.perf_counter()
+        ref.calc_slopes_directions()
+        ref.calc_uca()
+        ref.calc_twi()
+        dt = time.perf_counter() - t0
+    return n * n / dt
+
+
+def main():
+    value, dt, sweeps, platform = bench_tpu(N_TPU)
+
+    baseline = None
+    try:
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                baseline = json.load(f)["reference_px_per_s"]
+    except Exception:
+        baseline = None
+    if baseline is None:
+        try:
+            baseline = bench_reference(N_REF)
+            if baseline:
+                os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+                with open(BASELINE_CACHE, "w") as f:
+                    json.dump({"reference_px_per_s": baseline,
+                               "reference_n": N_REF}, f)
+        except Exception as e:
+            print("baseline measurement failed: %r" % e, file=sys.stderr)
+            baseline = None
+
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "DEM grid-points/sec/chip, full chain slope+UCA(converged)+TWI, %d^2 cone, %s" % (N_TPU, platform),
+        "value": round(value),
+        "unit": "px/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": {"seconds_per_run": round(dt, 4), "uca_sweeps": sweeps,
+                   "reference_px_per_s": round(baseline) if baseline else None},
+    }))
+
+
+if __name__ == "__main__":
+    main()
