@@ -23,7 +23,8 @@ import jax
 from .core import conditioning as cond
 from .core.receivers import receiver_weights, section_proportion
 from .core.slope_direction import find_flats_edges, slopes_directions
-from .core.uca import accumulate, base_area, finalize_uca, seeds_and_edge_todo
+from .core.uca import (accumulate, accumulate_update, base_area, finalize_uca,
+                       grid_edge_mask, reachability, seeds_and_edge_todo)
 from .io.geotiff import read_geotiff_kwargs
 
 FLAT_ID_INT = -1
@@ -215,10 +216,8 @@ class DEMProcessor:
     def calc_uca(self, plotflag=False, edge_init_data=None, uca_init=None):
         if self.direction is None:
             self.calc_slopes_directions()
-        if edge_init_data is not None or uca_init is not None:
-            raise NotImplementedError(
-                "Per-tile incremental edge updates are replaced by the "
-                "sharded global solve; see pydem_tpu.parallel / ProcessManager.")
+        if uca_init is not None:
+            return self._calc_uca_edge_update(edge_init_data, uca_init)
 
         section, proportion = _section_program(
             jnp.asarray(self.direction), jnp.asarray(self.flats),
@@ -256,6 +255,117 @@ class DEMProcessor:
 
         self.edge_todo = np.asarray(edge_todo)
         self.edge_done = ~self.edge_todo
+        return self.uca
+
+    def _calc_uca_edge_update(self, edge_init_data, uca_init):
+        """Incremental cross-tile edge update: propagate only the *delta*
+        area attributable to newly-finished neighbor edges.
+
+        Functional port of the reference's tile edge-resolution pass
+        (dem_processing.py:682-771 setup, :778-862 propagation) on the dense
+        solver: already-initialized edge pixels are blocked from receiving
+        (the ``done[row_id] & on_edge`` skip of cyutils.pyx:159-161) and the
+        remaining todo-mask is flooded forward (drain_connections).
+        """
+        shape = self.elev.shape
+        edge_data, edge_init_done, edge_init_todo = edge_init_data
+        init = np.zeros(shape, "float64")
+        done = np.zeros(shape, bool)
+        todo = np.zeros(shape, bool)
+        sides = {"left": (slice(None), 0), "right": (slice(None), -1),
+                 "top": (0, slice(None)), "bottom": (-1, slice(None))}
+        for key, val in sides.items():
+            done[val] |= np.asarray(edge_init_done[key]).reshape(done[val].shape)
+            init[val] += (np.asarray(edge_data[key])
+                          * np.asarray(edge_init_done[key])).reshape(init[val].shape)
+            todo[val] |= np.asarray(edge_init_todo[key]).reshape(todo[val].shape)
+        for key, val in sides.items():
+            sel = init[val]
+            sel[~done[val]] = 0
+            init[val] = sel
+
+        uca0 = np.asarray(uca_init, "float64")
+
+        section, proportion = _section_program(
+            jnp.asarray(self.direction), jnp.asarray(self.flats),
+            jnp.asarray(self.dX), jnp.asarray(self.dY))
+        self.section = np.asarray(section)
+        self.proportion = np.asarray(proportion)
+
+        pit_src = pit_dst = pit_w = np.zeros(0)
+        flats2, mag2 = self.flats, self.mag
+        if self.drain_pits:
+            pit_src, pit_dst, pit_w, flats2, mag2 = cond.connectivity_pits(
+                self.flats, self.elev, self.mag, self.dX, self.dY,
+                max_iter=self.drain_pits_max_iter,
+                max_dist=self.drain_pits_max_dist,
+                max_dist_XY=self.drain_pits_max_dist_XY,
+                min_border=self.drain_pits_min_border)
+            keep = pit_w > 1e-8
+            pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
+        has_pits = pit_src.size > 0
+        pit_src, pit_dst, pit_w = _pad_pits(pit_src, pit_dst, pit_w)
+        pits = ((jnp.asarray(pit_src), jnp.asarray(pit_dst),
+                 jnp.asarray(pit_w)) if has_pits else (None, None, None))
+
+        W = receiver_weights(section, proportion, jnp.asarray(self.elev))
+
+        # seed the delta: newly-done edges minus the area already counted
+        ids0 = done & todo
+        todo_active = todo & ~done
+        delta0 = np.zeros(shape, "float64")
+        delta0[done[:, 0], 0] = init[done[:, 0], 0] - uca0[done[:, 0], 0]
+        delta0[done[:, -1], -1] = init[done[:, -1], -1] - uca0[done[:, -1], -1]
+        delta0[-1, done[-1, :]] = init[-1, done[-1, :]] - uca0[-1, done[-1, :]]
+        delta0[0, done[0, :]] = init[0, done[0, :]] - uca0[0, done[0, :]]
+        delta0[flats2] = np.nan
+
+        # Effective done-state (dem_processing.py:820-833): everything is
+        # done except strict descendants of the seed set (drain_connections
+        # flood), then the seeds themselves are re-marked done.  Edge pixels
+        # that are done never receive (cyutils skip rule); pixels outside
+        # seeds ∪ descendants are never activated so they never push.
+        from .core.uca import flow_sweep  # boolean one-step via weights
+
+        Wb = np.asarray(W) > 0
+        one_step = np.zeros(shape, bool)
+        from .core.stencil import NEIGHBOR_OFFSETS
+        for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
+            src = Wb[k] & ids0
+            shifted = np.zeros(shape, bool)
+            tgt = shifted
+            si = slice(max(0, di), shape[0] + min(0, di))
+            sj = slice(max(0, dj), shape[1] + min(0, dj))
+            oi = slice(max(0, -di), shape[0] + min(0, -di))
+            oj = slice(max(0, -dj), shape[1] + min(0, -dj))
+            tgt[si, sj] = src[oi, oj]
+            one_step |= tgt
+        if has_pits:
+            flat_one = one_step.ravel()
+            seeds_flat = ids0.ravel()
+            sel = seeds_flat[np.asarray(pit_src)] & (np.asarray(pit_w) > 0)
+            flat_one[np.asarray(pit_dst)[sel]] = True
+            one_step = flat_one.reshape(shape)
+        reach1 = np.asarray(reachability(jnp.asarray(one_step), W, *pits))
+
+        edge = np.asarray(grid_edge_mask(shape))
+        done_eff = ~reach1 | ids0
+        fdt = jnp.asarray(delta0).dtype
+        receive = jnp.asarray(~(edge & done_eff), fdt)
+        push = jnp.asarray(ids0 | reach1, fdt)
+        delta, _n = accumulate_update(
+            jnp.asarray(delta0), W, receive, push, *pits,
+            max_iters=self.uca_max_iters, check_every=self.uca_check_every)
+        delta = np.array(delta)
+        delta[flats2] = np.nan
+
+        flooded = reachability(jnp.asarray(todo_active), W, *pits)
+
+        self.uca = uca0 + delta
+        self.mag = np.asarray(mag2)
+        self.flats = np.asarray(flats2)
+        self.edge_todo = todo_active
+        self.edge_done = ~np.asarray(flooded)
         return self.uca
 
     # -- TWI ---------------------------------------------------------------

@@ -95,11 +95,17 @@ def _facet_candidates(elev, d1, d2, ind):
     e2 = shift(elev, *FACET_E2[ind])
     s1 = (elev - e1) / d1
     s2 = (e1 - e2) / d2
-    s1_2 = s1 * s1
-    hyp = jnp.sqrt(d1 * d1 + d2 * d2)
+    # The barriers stop XLA from contracting a*a + b*b into an FMA: facet
+    # candidates that differ by 1 ulp (numpy semantics, which the reference's
+    # tie-breaks depend on) would otherwise collapse into exact ties and be
+    # broken by facet order instead of by value.
+    s1_2 = jax.lax.optimization_barrier(s1 * s1)
+    s2_2 = jax.lax.optimization_barrier(s2 * s2)
+    d1_2 = jax.lax.optimization_barrier(d1 * d1)
+    hyp = jnp.sqrt(d1_2 + d2 * d2)
     sd = (elev - e2) / hyp
     r = jnp.arctan2(s2, s1)
-    rad2 = s1_2 + s2 * s2
+    rad2 = s1_2 + s2_2
     theta = jnp.arctan2(d2, d1)
     theta_b = jnp.broadcast_to(theta, elev.shape)
 

@@ -92,6 +92,69 @@ def finalize_uca(area, flats):
     return jnp.where(flats, jnp.nan, area)
 
 
+@partial(jax.jit, static_argnames=("max_iters", "check_every"))
+def accumulate_update(delta0, W, receive_mask, push_mask=None, pit_src=None,
+                      pit_dst=None, pit_w=None, max_iters=1_000_000,
+                      check_every=4):
+    """Propagate an edge-delta through the drainage graph
+    (the ``skip_edge=False`` update pass of cyutils.pyx:119-187 driven by
+    dem_processing.py:778-862): like :func:`accumulate` but with no base
+    self-area, with receiving suppressed at already-initialized edge pixels
+    (``receive_mask`` False there), and with pushing suppressed at seeded
+    done-but-not-todo edges (their delta is recorded in-cell but never joins
+    the wavefront — they are never activated in the reference since inflow
+    to done edge pixels is skipped)."""
+    def one(x):
+        src = x if push_mask is None else x * push_mask
+        return delta0 + receive_mask * flow_sweep(src, W, pit_src, pit_dst, pit_w)
+
+    def body(state):
+        x, _prev, it = state
+        new = x
+        for _ in range(check_every):
+            new = one(new)
+        return new, x, it + check_every
+
+    def cond(state):
+        x, prev, it = state
+        return jnp.logical_and(jnp.any(x != prev), it < max_iters)
+
+    x0 = delta0
+    prev0 = jnp.full_like(delta0, -1.0)
+    x, _, n = jax.lax.while_loop(cond, body, (x0, prev0, jnp.int32(0)))
+    return x, n
+
+
+@jax.jit
+def reachability(seed, W, pit_src=None, pit_dst=None, pit_w=None):
+    """Boolean flood along drainage edges (drain_connections,
+    cyutils.pyx:35-72): all pixels reachable downstream from ``seed``."""
+    Wb = W > 0
+
+    def body(state):
+        t, _changed = state
+        new = t
+        for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
+            new = new | scatter_shift(Wb[k] & t, di, dj, False)
+        if pit_src is not None and pit_src.size:
+            flat = new.ravel()
+            contrib = t.ravel()[pit_src] & (pit_w > 0)
+            new = flat.at[pit_dst].max(contrib).reshape(t.shape)
+        return new, jnp.any(new != t)
+
+    t, _ = jax.lax.while_loop(lambda s: s[1], body,
+                              (seed, jnp.asarray(True)))
+    return t
+
+
+def grid_edge_mask(shape):
+    n, m = shape
+    e = jnp.zeros((n, m), bool)
+    e = e.at[0, :].set(True).at[-1, :].set(True)
+    e = e.at[:, 0].set(True).at[:, -1].set(True)
+    return e
+
+
 def seeds_and_edge_todo(W, section, elev, pit_dst=None):
     """Edge inflow bookkeeping for tile-based processing
     (dem_processing.py:909-930): which true-grid-edge pixels still await

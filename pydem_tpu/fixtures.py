@@ -14,6 +14,8 @@ reference's ``make_elev_ang`` does via ``np.ma.filled``
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .geometry import mk_transform, pixel_scales
@@ -241,6 +243,48 @@ def spiral(x, y):
 # case registry (utils_test_pydem.py:426-488); case 27 (real data) omitted —
 # the bundled tile is loaded directly by tests via pydem_tpu.io.
 # ---------------------------------------------------------------------------
+
+def mk_test_multifile(testnum, NN, testdir, nx_grid=3, ny_grid=4,
+                      nx_overlap=16, ny_overlap=32, lat=(46, 45),
+                      lon=(-73, -72)):
+    """Split a fixture into a grid of overlapping GeoTIFF tiles
+    (semantics of utils_test_pydem.py:359-408); returns the chunk dir."""
+    from .io.geotiff import write_geotiff
+    from .geometry import mk_transform
+
+    path = os.path.join(testdir, "chunks")
+    os.makedirs(path, exist_ok=True)
+
+    def chunk_edges(NN_, chunk_size, chunk_overlap):
+        chunk_size = int(chunk_size)
+        left = np.arange(0, NN_ - chunk_overlap, chunk_size)
+        left[1:] -= chunk_overlap // 2
+        right = np.arange(0, NN_ - chunk_overlap, chunk_size)
+        right[:-1] = right[1:] + int(np.ceil(chunk_overlap / 2))
+        right[-1] = NN_
+        right = np.minimum(right, NN_)
+        return left, right
+
+    elev, _ang, _uca = get_test_case(testnum, NN)
+    ni, nj = elev.shape
+    top_edge, bottom_edge = chunk_edges(ni, np.ceil(ni / ny_grid), ny_overlap)
+    left_edge, right_edge = chunk_edges(nj, np.ceil(nj / nx_grid), nx_overlap)
+    lats = np.linspace(lat[0], lat[1], ni)
+    lons = np.linspace(lon[0], lon[1], nj)
+    count = 0
+    for te, be in zip(top_edge, bottom_edge):
+        for le, re_ in zip(left_edge, right_edge):
+            count += 1
+            block = elev[te:be, le:re_]
+            ph = -abs(lats[te] - lats[be - 1]) / (block.shape[0] - 1.0)
+            pw = abs(lons[le] - lons[re_ - 1]) / (block.shape[1] - 1.0)
+            transform = mk_transform(max(lats[te], lats[be - 1]),
+                                     min(lons[le], lons[re_ - 1]), ph, pw,
+                                     lat_lon_centered=True)
+            fn = os.path.join(path, "chunk_%03d_elev.tif" % count)
+            write_geotiff(fn, block, transform, nodata=NO_DATA_VALUE)
+    return path
+
 
 def get_test_case(testnum, NN):
     """Return ``(elev, angle, uca_or_None)`` as plain float64 ndarrays.

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: block-resident UCA accumulation sweeps.
+
+The XLA path (``core.uca.accumulate``) pays a full HBM round trip of
+x + 8 weight planes per Jacobi sweep (~160 MB/sweep at 2048²), and each sweep
+moves information only one pixel.  This kernel restructures the fixed point
+as *block-local relaxation*: the canvas is tiled into B×B blocks; each grid
+step DMAs one block (+halo) of x and of the 8 weight planes into VMEM and
+iterates the sweep **in VMEM until the block stops changing** (halo frozen),
+then writes the block back.  One outer "round" therefore costs the HBM
+traffic of a single global sweep but propagates flow across an entire block
+(up to ~2B pixels of path) — outer rounds scale with path length in *block*
+units, the on-device analog of the reference's tile-by-tile edge resolution
+(process_manager.py:1090-1249), with VMEM playing the role of the tile and
+the grid loop the role of the scheduler.
+
+TPU alignment: Mosaic requires DMA window offsets/sizes aligned to the
+(8, 128) tile, so the canvas is padded by 8 rows / 128 cols on each side and
+each block loads an aligned (B+16) × (B+256) window; the 1-px halo lives at
+offsets (7, 127) inside it.  B must be a multiple of 128.
+
+Convergence: block-Jacobi / chaotic relaxation on a nilpotent (DAG) operator
+reaches the same fixed point as plain Jacobi; each round's per-block changed
+flags drive the outer loop.  Converged blocks cost one sweep + DMA.
+
+The kernel runs in interpret mode on CPU (tests) and compiled on TPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.stencil import NEIGHBOR_OFFSETS
+
+HR = 8     # row padding (sublane tile)
+HC = 128   # col padding (lane tile)
+
+
+def _block_kernel(xp_ref, wp_ref, base_ref, out_ref, chg_ref,
+                  x_s, x0_s, w_s, sems, *, B, inner_max):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # aligned halo window: rows [i*B, i*B + B + 2*HR), cols [j*B, ... + 2*HC)
+    copy_x = pltpu.make_async_copy(
+        xp_ref.at[pl.ds(i * B, B + 2 * HR), pl.ds(j * B, B + 2 * HC)],
+        x_s, sems.at[0])
+    copy_w = pltpu.make_async_copy(
+        wp_ref.at[:, pl.ds(i * B, B + 2 * HR), pl.ds(j * B, B + 2 * HC)],
+        w_s, sems.at[1])
+    copy_x.start()
+    copy_w.start()
+    copy_x.wait()
+    copy_w.wait()
+
+    x0_s[:] = x_s[HR: HR + B, HC: HC + B]
+    base = base_ref[:]
+
+    def sweep_into_scratch():
+        """One Jacobi sweep updating the interior of x_s in place (halo
+        frozen); returns whether anything changed."""
+        x = x_s[:]
+        w = w_s[:]
+        acc = base
+        for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
+            # receiver p interior at (HR..HR+B, HC..HC+B); source q = p - o_k
+            r0, c0 = HR - di, HC - dj
+            acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
+                         * x[r0: r0 + B, c0: c0 + B])
+        changed = jnp.any(acc != x[HR: HR + B, HC: HC + B])
+        x_s[HR: HR + B, HC: HC + B] = acc
+        return changed
+
+    def cond(state):
+        it, changed = state
+        return jnp.logical_and(it < inner_max, changed)
+
+    def body(state):
+        it, _changed = state
+        return it + 1, sweep_into_scratch()
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+
+    out_ref[:] = x_s[HR: HR + B, HC: HC + B]
+    chg_ref[i, j] = jnp.any(
+        x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
+
+
+def _round(x, w_pad, base, *, B, inner_max, interpret):
+    n, m = x.shape
+    nb_i, nb_j = n // B, m // B
+    xp = jnp.pad(x, ((HR, HR), (HC, HC)))
+    kernel = functools.partial(_block_kernel, B=B, inner_max=inner_max)
+    x_new, changed = pl.pallas_call(
+        kernel,
+        grid=(nb_i, nb_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # x padded
+            pl.BlockSpec(memory_space=pltpu.HBM),   # W padded
+            pl.BlockSpec((B, B), lambda i, j: (i, j)),  # base block
+        ],
+        out_specs=[
+            pl.BlockSpec((B, B), lambda i, j: (i, j)),
+            # whole flag array as one SMEM block; each grid step writes [i, j]
+            pl.BlockSpec((nb_i, nb_j), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m), x.dtype),
+            jax.ShapeDtypeStruct((nb_i, nb_j), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B + 2 * HR, B + 2 * HC), x.dtype),
+            pltpu.VMEM((B, B), x.dtype),
+            pltpu.VMEM((8, B + 2 * HR, B + 2 * HC), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, w_pad, base)
+    return x_new, changed
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "inner_max", "max_rounds",
+                                    "interpret"))
+def accumulate_blocked(base, W, B=256, inner_max=None, max_rounds=100_000,
+                       interpret=False):
+    """Solve area = base + A·area with block-resident relaxation.
+
+    ``base``: (n, m); ``W``: (8, n, m).  n, m must be multiples of B (the
+    caller pads the canvas; pad pixels carry zero weights); B a multiple of
+    128 on TPU (any multiple of 8 in interpret mode).  Returns
+    ``(area, n_rounds)``.
+    """
+    n, m = base.shape
+    assert n % B == 0 and m % B == 0, "canvas must be padded to block size"
+    if inner_max is None:
+        inner_max = 2 * B + 4
+    w_pad = jnp.pad(W, ((0, 0), (HR, HR), (HC, HC)))
+
+    def cond(state):
+        _x, changed, rounds = state
+        return jnp.logical_and(changed > 0, rounds < max_rounds)
+
+    def body(state):
+        x, _c, rounds = state
+        x_new, chg = _round(x, w_pad, base, B=B, inner_max=inner_max,
+                            interpret=interpret)
+        return x_new, jnp.sum(chg), rounds + 1
+
+    x0, chg0 = _round(base, w_pad, base, B=B, inner_max=inner_max,
+                      interpret=interpret)
+    x, _, rounds = jax.lax.while_loop(
+        cond, body, (x0, jnp.sum(chg0), jnp.int32(1)))
+    return x, rounds
