@@ -51,16 +51,17 @@ def bench_tpu(n):
     # result caching) and syncs on a scalar that depends on the whole UCA
     # loop (uca_sweeps), so timing covers real execution without paying the
     # full device->host canvas transfer per rep.
+    dev = jax.devices()[0]
+    solver = "blocked" if dev.platform == "tpu" else "jacobi"
     eps = [jnp.float32(1e-6 * (i + 1)) for i in range(8)]
-    out = terrain_step(elev + eps[-1], dX, dY, dX2, dY2)
+    out = terrain_step(elev + eps[-1], dX, dY, dX2, dY2, uca_solver=solver)
     np.asarray(out["uca"])  # warm compile + one full transfer
     reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
-        out = terrain_step(elev + eps[i], dX, dY, dX2, dY2)
+        out = terrain_step(elev + eps[i], dX, dY, dX2, dY2, uca_solver=solver)
         sweeps = int(out["uca_sweeps"])  # scalar sync
     dt = (time.perf_counter() - t0) / reps
-    dev = jax.devices()[0]
     return n * n / dt, dt, sweeps, str(dev.platform)
 
 

@@ -58,14 +58,18 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-@partial(jax.jit, static_argnames=("n_sweeps",))
-def terrain_step(elev, dX, dY, dX2, dY2, n_sweeps=None):
+@partial(jax.jit, static_argnames=("n_sweeps", "uca_solver"))
+def terrain_step(elev, dX, dY, dX2, dY2, n_sweeps=None, uca_solver="jacobi"):
     """The full device-side pipeline as one jittable program:
     slope/direction → flats → section/proportion → receiver weights → UCA
     fixed point → TWI.
 
     With ``n_sweeps`` set, runs a fixed number of UCA sweeps (fully static —
-    useful for benchmarking/stepping); otherwise iterates to the fixed point.
+    useful for benchmarking/stepping); otherwise iterates to the fixed point
+    with the chosen solver: ``"jacobi"`` (global sweeps, works everywhere) or
+    ``"blocked"`` (Pallas VMEM-resident block relaxation — TPU, single
+    device; the canvas is zero-padded to the block grid, which is exact
+    since pad pixels carry no weight and no base area).
     """
     mag, direction = slopes_directions(elev, dX, dY)
     flats = find_flats_edges(elev, mag, direction)
@@ -84,6 +88,16 @@ def terrain_step(elev, dX, dY, dX2, dY2, n_sweeps=None):
 
         area = jax.lax.fori_loop(0, n_sweeps, body, base)
         sweeps = jnp.int32(n_sweeps)
+    elif uca_solver == "blocked":
+        from ..ops.uca_block import accumulate_blocked
+
+        n, m = elev.shape
+        B = 256 if min(n, m) >= 256 else 128
+        pn, pm = (-n) % B, (-m) % B
+        base_p = jnp.pad(base, ((0, pn), (0, pm)))
+        W_p = jnp.pad(W, ((0, 0), (0, pn), (0, pm)))
+        area, sweeps = accumulate_blocked(base_p, W_p, B=B)
+        area = area[:n, :m]
     else:
         area, sweeps = accumulate(base, W)
     uca = finalize_uca(area, flats)
