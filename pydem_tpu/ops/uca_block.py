@@ -2,7 +2,7 @@
 
 The XLA path (``core.uca.accumulate``) pays a full HBM round trip of
 x + 8 weight planes per Jacobi sweep (~160 MB/sweep at 2048²), and each sweep
-moves information only one pixel.  This kernel restructures the fixed point
+moves information by only one pixel.  This kernel restructures the fixed point
 as *block-local relaxation*: the canvas is tiled into B×B blocks; each grid
 step DMAs one block (+halo) of x and of the 8 weight planes into VMEM and
 iterates the sweep **in VMEM until the block stops changing** (halo frozen),
