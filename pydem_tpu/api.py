@@ -107,6 +107,9 @@ class DEMProcessor:
     # UCA solver controls (new; no reference analog)
     uca_check_every = 4
     uca_max_iters = 1_000_000
+    # "host" = exact reference semantics (numpy); "device" = on-device
+    # label-flood/segment-reduction implementation (core.flats_device)
+    conditioning_backend = "host"
 
     CONFIG_KEYS = [
         "fill_flats", "fill_flats_below_sea", "fill_flats_source_tol",
@@ -117,6 +120,7 @@ class DEMProcessor:
         "apply_uca_limit_edges", "apply_twi_limits", "apply_twi_limits_on_uca",
         "uca_saturation_limit", "twi_min_slope", "maximum_pit_area",
         "circular_ref_maxcount", "uca_check_every", "uca_max_iters",
+        "conditioning_backend",
     ]
 
     def __init__(self, elev_fn=None, **kwargs):
@@ -172,6 +176,18 @@ class DEMProcessor:
     # -- conditioning ------------------------------------------------------
 
     def calc_fill_flats(self):
+        if self.conditioning_backend == "device":
+            from .core.flats_device import fill_flats_device
+
+            self.elev = np.asarray(fill_flats_device(
+                jnp.asarray(self.elev),
+                source_tol=self.fill_flats_source_tol,
+                fill_peaks=self.fill_flats_peaks,
+                fill_pits=self.fill_flats_pits,
+                below_sea=self.fill_flats_below_sea,
+                maximum_pit_area=self.maximum_pit_area,
+            ))
+            return self.elev
         self.elev = cond.fill_flats(
             self.elev,
             source_tol=self.fill_flats_source_tol,

@@ -1,0 +1,322 @@
+"""On-device elevation conditioning: flat filling as label-flood + segment
+reductions + chamfer relaxation (all jnp; jit/SPMD-compatible).
+
+TPU-native counterpart of ``core.conditioning.fill_flats`` (which is the
+host-side exact-semantics implementation, see its docstring for the
+reference line citations).  The per-region python loops of the reference
+become four data-parallel phases over the whole canvas:
+
+1. flat mask (3×3 min filter) + connected components via min-index label
+   flood (``slope_direction.label_flood`` machinery);
+2. per-region scalars (drain existence, source min-elevation, centroid,
+   border statistics) via ``jax.ops.segment_*`` keyed on the region label;
+3. source/drain seeding per pixel (a pixel's role is decided against the
+   region of the *adjacent* flat pixel, so shared borders between two
+   regions behave exactly like the reference's per-region windows);
+4. inverse-distance-squared interpolation with in-region chamfer distances
+   (orth +1 / diag +√2), iterated min-relaxation — the direct jnp analog of
+   the reference's ``get_distance`` (utils.py:374-402).
+
+All regions are processed simultaneously; this is safe because the
+reference's writes are provably confined to each region's own pixels.
+Matches the host implementation on the analytic fixture suite (see
+tests/test_flats_device.py); NaN no-data neighborhoods may differ from
+scipy's order-dependent minimum_filter NaN semantics in pathological cases.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .stencil import NEIGHBOR_OFFSETS, shift
+
+SQRT2 = 2.0 ** 0.5
+
+
+def _flat_mask(elev, below_sea):
+    mn = elev
+    for di, dj in NEIGHBOR_OFFSETS:
+        mn = jnp.minimum(mn, shift(elev, di, dj, jnp.inf))
+    sea = (elev != 0) if below_sea else (elev > 0)
+    flat = (mn >= elev) & sea
+    flat = flat.at[0, 0].set(False).at[-1, 0].set(False)
+    flat = flat.at[0, -1].set(False).at[-1, -1].set(False)
+    return flat
+
+
+def _labels(flat, elev):
+    """(labels, rep_elev) via min-index flood; non-flat pixels get n*m."""
+    from .slope_direction import label_flood
+
+    return label_flood(flat, elev)
+
+
+def _seg(op, vals, ids, num, init):
+    if op == "min":
+        return jax.ops.segment_min(vals, ids, num_segments=num)
+    if op == "max":
+        return jax.ops.segment_max(vals, ids, num_segments=num)
+    return jax.ops.segment_sum(vals, ids, num_segments=num)
+
+
+@partial(jax.jit, static_argnames=("source_tol", "fill_peaks", "fill_pits",
+                                   "below_sea", "maximum_pit_area"))
+def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
+                      below_sea=False, maximum_pit_area=32):
+    """Fill/interpolate flats on device.  Returns the conditioned canvas."""
+    elev = jnp.asarray(elev)
+    n, m = elev.shape
+    N = n * m
+    if maximum_pit_area:
+        elev = _fill_pit_artifacts(elev, below_sea, maximum_pit_area)
+
+    data = elev.astype(elev.dtype)
+    flat = _flat_mask(data, below_sea)
+    lbl, rep = _labels(flat, data)
+    lbl_flat = jnp.where(flat, lbl, N).ravel()
+
+    # ---- per-region border statistics --------------------------------
+    # For each pixel p and direction k, p "borders" the region of its flat
+    # neighbor q (p itself not flat-of-that-region is implied by elevation
+    # tests: region pixels have elev == e so they never count as sources,
+    # and count as drains only like the reference's equal-elevation border).
+    INF = jnp.asarray(jnp.inf, data.dtype)
+    drain_any = jnp.zeros(N + 1, bool)
+    src_min = jnp.full(N + 1, INF)
+    for di, dj in NEIGHBOR_OFFSETS:
+        q_lbl = shift(jnp.where(flat, lbl, N), di, dj, N)   # region p borders
+        q_rep = shift(rep, di, dj, jnp.nan)
+        is_border = (q_lbl < N) & ~flat  # p outside region, q in region
+        ids = jnp.where(is_border, q_lbl, N).ravel()
+        drain_any = drain_any | (
+            _seg("max", (is_border & (data == q_rep)).ravel().astype(jnp.int32),
+                 ids, N + 1, 0) > 0)
+        src_vals = jnp.where(is_border & (data > q_rep), data, INF).ravel()
+        src_min = jnp.minimum(src_min, _seg("min", src_vals, ids, N + 1, INF))
+
+    e_region = rep  # per-pixel (region pixels only)
+    esrc_of = src_min[lbl_flat].reshape(n, m)        # per region-pixel
+    has_src = jnp.isfinite(esrc_of)
+    has_drain = drain_any[lbl_flat].reshape(n, m)
+
+    # region size & single-pixel special case geometry
+    ones = jnp.where(flat, 1, 0).ravel()
+    count = _seg("sum", ones, lbl_flat, N + 1, 0)
+    count_of = count[lbl_flat].reshape(n, m)
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+
+    # ---- single-pixel regions in <=3x3 windows (dem_processing.py:311-325)
+    nbr_higher = jnp.zeros((n, m), jnp.int32)
+    nbr_total = jnp.zeros((n, m), jnp.int32)
+    for di, dj in NEIGHBOR_OFFSETS:
+        qe = shift(data, di, dj, jnp.nan)
+        in_grid = ~jnp.isnan(shift(jnp.zeros_like(data), di, dj, jnp.nan))
+        nbr_total = nbr_total + in_grid.astype(jnp.int32)
+        nbr_higher = nbr_higher + (qe > data).astype(jnp.int32)
+    single = flat & (count_of == 1)
+    min_higher = jnp.full((n, m), INF)
+    for di, dj in NEIGHBOR_OFFSETS:
+        qe = shift(data, di, dj, jnp.inf)
+        min_higher = jnp.minimum(min_higher,
+                                 jnp.where(qe > data, qe, INF))
+    sp_pit = single & (nbr_higher == nbr_total)
+    sp_fill = single & ~sp_pit & (nbr_higher > 0)
+    sp_peak = single & ~sp_pit & (nbr_higher == 0) & bool(fill_peaks)
+    out = data
+    out = jnp.where(sp_fill,
+                    data + jnp.minimum(1.0, min_higher - data) - 0.01, out)
+    out = jnp.where(sp_peak, data + 0.5, out)
+
+    # ---- multi-pixel regions -----------------------------------------
+    multi = flat & (count_of > 1)
+    eH = jnp.minimum(e_region + 1.0, esrc_of)          # normal sources
+    eH = jnp.where(has_src, eH, e_region + 0.5)        # peak fallback
+
+    # centroid (nearest in-region pixel to center of mass, scan-order ties)
+    si = _seg("sum", jnp.where(flat, ii, 0).ravel().astype(data.dtype),
+              lbl_flat, N + 1, 0)
+    sj = _seg("sum", jnp.where(flat, jj, 0).ravel().astype(data.dtype),
+              lbl_flat, N + 1, 0)
+    cnt_f = count.astype(data.dtype)
+    com_i = (si / jnp.maximum(cnt_f, 1))[lbl_flat].reshape(n, m)
+    com_j = (sj / jnp.maximum(cnt_f, 1))[lbl_flat].reshape(n, m)
+    dist2 = (ii - com_i) ** 2 + (jj - com_j) ** 2
+    dmin = _seg("min", jnp.where(flat, dist2, INF).ravel(), lbl_flat, N + 1, INF)
+    at_min = flat & (dist2 == dmin[lbl_flat].reshape(n, m))
+    idx_flat = (ii * m + jj).ravel()
+    cent_idx = _seg("min", jnp.where(at_min.ravel(), idx_flat, N),
+                    lbl_flat, N + 1, N)
+    is_centroid = flat & (idx_flat.reshape(n, m) == cent_idx[lbl_flat].reshape(n, m))
+
+    # edge-touching regions (upstream river beds): drain to the array edge
+    edge = jnp.zeros((n, m), bool)
+    edge = edge.at[0, :].set(True).at[-1, :].set(True)
+    edge = edge.at[:, 0].set(True).at[:, -1].set(True)
+    touches_edge = _seg("max", (flat & edge).ravel().astype(jnp.int32),
+                        lbl_flat, N + 1, 0) > 0
+    touches_of = touches_edge[lbl_flat].reshape(n, m)
+
+    # drain seeds: border pixels with elev == e (normal), else region∩edge,
+    # else centroid (pits)
+    use_edge_drain = ~has_drain & touches_of
+    use_pit_drain = ~has_drain & ~touches_of & bool(fill_pits)
+    # region entirely on the edge would have no interior to interpolate
+    non_drain_cnt = _seg("sum", (flat & ~edge).ravel().astype(jnp.int32),
+                         lbl_flat, N + 1, 0)
+    edge_drain_ok = (non_drain_cnt > 0)[lbl_flat].reshape(n, m)
+
+    # peaks: centroid becomes the source, raised to eH
+    peak_region = multi & ~has_src & bool(fill_peaks)
+    out = jnp.where(peak_region & is_centroid, eH, out)
+
+    # in-region replace set (excluded from interpolation)
+    replace = jnp.zeros((n, m), bool)
+    replace = replace | (peak_region & is_centroid)
+    replace = replace | (multi & use_edge_drain & edge & edge_drain_ok)
+    replace = replace | (multi & use_pit_drain & is_centroid & has_src)
+    # (pit-drain with peak source: both seeds are the centroid; reference
+    # sets source first then drain also at centroid — replace stays centroid)
+    replace = replace | (multi & use_pit_drain & ~has_src & bool(fill_peaks)
+                         & is_centroid)
+
+    # active regions: those with a usable source AND a usable drain
+    active_src = has_src | bool(fill_peaks)
+    active_drain = has_drain | (use_edge_drain & edge_drain_ok) | use_pit_drain
+    active = multi & active_src & active_drain
+
+    # ---- chamfer distances within regions ----------------------------
+    # dH from sources, dL from drains; seeds live either outside the region
+    # (border pixels) or inside (centroid / edge pixels in replace roles).
+    def chamfer(seed_out_pred, seed_in):
+        """In-region chamfer distance replicating get_distance
+        (utils.py:374-402) including its early stop: the reference iterates
+        only until every region pixel has been *reached* and keeps the
+        distances of that sweep, which can exceed the true chamfer distance.
+        Each region therefore freezes at its own arrival sweep.
+
+        seed_out_pred(q_elev, q_flat, di, dj) marks out-of-region seeds
+        adjacent to region pixels; seed_in marks in-region zero-distance
+        seeds."""
+        big = jnp.asarray(float(N), data.dtype)
+
+        def relax(dcur):
+            dn = dcur
+            for di, dj in NEIGHBOR_OFFSETS:
+                step = 1.0 if di * dj == 0 else SQRT2
+                dn = jnp.minimum(dn, shift(dcur, di, dj, big) + step)
+            # only region pixels update; in-region seeds stay 0
+            dn = jnp.where(flat, dn, big)
+            dn = jnp.where(seed_in, 0.0, dn)
+            # out-of-region seed adjacency (static contribution, replaces the
+            # reference's d=0 at border-source pixels)
+            for di, dj in NEIGHBOR_OFFSETS:
+                step = 1.0 if di * dj == 0 else SQRT2
+                q_e = shift(data, di, dj, jnp.nan)
+                q_flat = shift(flat, di, dj, False)
+                is_seed = seed_out_pred(q_e, q_flat, di, dj)
+                dn = jnp.minimum(dn, jnp.where(is_seed, step, big))
+            return dn
+
+        d0 = jnp.where(seed_in, 0.0, big)
+
+        def body(state):
+            d, out, frozen, _changed = state
+            dn = relax(d)
+            reached_all = _seg(
+                "min", jnp.where(flat, (dn < big).astype(jnp.int32), 1).ravel(),
+                lbl_flat, N + 1, 1) > 0
+            freeze_now = reached_all & ~frozen
+            fz_px = freeze_now[lbl_flat].reshape(n, m) & flat
+            out = jnp.where(fz_px, dn, out)
+            return dn, out, frozen | reached_all, jnp.any(dn != d)
+
+        def cond(state):
+            _d, _out, frozen, changed = state
+            region_exists = count[:N] > 0
+            return jnp.logical_and(jnp.any(region_exists & ~frozen[:N]),
+                                   changed)
+
+        out0 = jnp.full((n, m), big)
+        out0 = jnp.where(seed_in, 0.0, out0)
+        d_fin, out, frozen_fin, _ = jax.lax.while_loop(
+            cond, body, (d0, out0, jnp.zeros(N + 1, bool), jnp.asarray(True)))
+        # regions that never fully arrived (seedless): converged values
+        unfrozen_px = (~frozen_fin)[lbl_flat].reshape(n, m) & flat
+        out = jnp.where(unfrozen_px, d_fin, out)
+        return out
+
+    def src_seed_out(q_e, q_flat, di, dj):
+        # q (shifted view at p) is out-of-region source for p's region:
+        # here the roles are inverted — we compute, at region pixel p,
+        # whether the neighbor at (di, dj) is a source border pixel.
+        cond_ = (~q_flat) & (q_e > e_region) & (q_e <= esrc_of + source_tol)
+        return flat & has_src & cond_
+
+    def drain_seed_out(q_e, q_flat, di, dj):
+        return flat & has_drain & (~q_flat) & (q_e == e_region)
+
+    src_in = (peak_region & is_centroid)
+    dH = chamfer(src_seed_out, src_in)
+    drain_in = ((multi & use_edge_drain & edge & edge_drain_ok)
+                | (multi & use_pit_drain & is_centroid))
+    dL = chamfer(drain_seed_out, drain_in)
+
+    interp = active & ~replace
+    fill_val = (eH * dL**2 + e_region * dH**2) / (dL**2 + dH**2)
+    out = jnp.where(interp, fill_val, out)
+    return out
+
+
+def _fill_pit_artifacts(elev, below_sea, maximum_pit_area):
+    """Quantization-pit raise (dem_processing.py:396-426) on device."""
+    n, m = elev.shape
+    N = n * m
+    # NOTE: unlike fill_flats, the reference does NOT exclude corners here
+    flat = _flat_mask_no_corner_exclusion(elev, below_sea)
+    lbl, rep = _labels(flat, elev)
+    lbl_flat = jnp.where(flat, lbl, N).ravel()
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    BIGI = jnp.int32(1 << 30)
+
+    def seg(op, vals, init):
+        return _seg(op, vals, lbl_flat, N + 1, init)
+
+    cnt = seg("sum", jnp.where(flat, 1, 0).ravel(), 0)
+    imin = seg("min", jnp.where(flat, ii, BIGI).ravel(), BIGI)
+    imax = seg("max", jnp.where(flat, ii, -1).ravel(), -1)
+    jmin = seg("min", jnp.where(flat, jj, BIGI).ravel(), BIGI)
+    jmax = seg("max", jnp.where(flat, jj, -1).ravel(), -1)
+    # bbox must not touch the array edge (dem_processing.py:413-415)
+    bbox_ok = (imin > 0) & (imax < n - 1) & (jmin > 0) & (jmax < m - 1)
+
+    # all border pixels exactly one above the region elevation
+    ok = jnp.ones(N + 1, bool)
+    for di, dj in NEIGHBOR_OFFSETS:
+        q_lbl = shift(jnp.where(flat, lbl, N), di, dj, N)
+        q_rep = shift(rep, di, dj, jnp.nan)
+        is_border = (q_lbl < N) & ~flat
+        ids = jnp.where(is_border, q_lbl, N).ravel()
+        bad = is_border & ~(elev - 1 == q_rep)
+        ok = ok & ~(seg_or(bad.ravel().astype(jnp.int32), ids, N + 1) > 0)
+
+    raise_region = ok & bbox_ok & (cnt <= maximum_pit_area) & (cnt > 0)
+    inc = raise_region[lbl_flat].reshape(n, m) & flat
+    return elev + inc.astype(elev.dtype)
+
+
+def seg_or(vals, ids, num):
+    return jax.ops.segment_max(vals, ids, num_segments=num)
+
+
+def _flat_mask_no_corner_exclusion(elev, below_sea):
+    mn = elev
+    for di, dj in NEIGHBOR_OFFSETS:
+        mn = jnp.minimum(mn, shift(elev, di, dj, jnp.inf))
+    sea = (elev != 0) if below_sea else (elev > 0)
+    return (mn >= elev) & sea

@@ -58,8 +58,9 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "uca_solver"))
-def terrain_step(elev, dX, dY, dX2, dY2, n_sweeps=None, uca_solver="jacobi"):
+@partial(jax.jit, static_argnames=("n_sweeps", "uca_solver", "fill_flats"))
+def terrain_step(elev, dX, dY, dX2, dY2, n_sweeps=None, uca_solver="jacobi",
+                 fill_flats=False):
     """The full device-side pipeline as one jittable program:
     slope/direction → flats → section/proportion → receiver weights → UCA
     fixed point → TWI.
@@ -71,6 +72,11 @@ def terrain_step(elev, dX, dY, dX2, dY2, n_sweeps=None, uca_solver="jacobi"):
     device; the canvas is zero-padded to the block grid, which is exact
     since pad pixels carry no weight and no base area).
     """
+    if fill_flats:
+        from ..core.flats_device import fill_flats_device
+
+        elev = fill_flats_device(elev)
+
     mag, direction = slopes_directions(elev, dX, dY)
     flats = find_flats_edges(elev, mag, direction)
     direction = jnp.where(flats, FLAT_ID_INT, direction)
