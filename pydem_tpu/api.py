@@ -173,6 +173,47 @@ class DEMProcessor:
                 raise TypeError("Unknown DEMProcessor option %r" % key)
             setattr(self, key, val)
 
+    # -- persistence (dem_processing.py:260-303) ---------------------------
+
+    def get_fn(self, name=None):
+        from .geometry import get_fn_from_coords
+
+        if not self.bounds:
+            raise ValueError("processor has no bounds (constructed from an "
+                             "in-memory array)")
+        left, bottom, right, top = self.bounds
+        return get_fn_from_coords((bottom, left, top, right), name)
+
+    def get_full_fn(self, name, rootpath="."):
+        import os
+
+        return os.path.join(rootpath, name, self.get_fn(name))
+
+    def save_array(self, fn, name):
+        np.savez_compressed(fn + ".npz", getattr(self, name))
+
+    def load_array(self, fn, name):
+        """Load a previously saved field ('elev', 'mag', 'direction', 'uca',
+        'twi') from <fn>.npz."""
+        import os
+
+        if not os.path.exists(fn + ".npz"):
+            raise RuntimeError("File %s does not exist." % (fn + ".npz"))
+        with np.load(fn + ".npz") as arr:
+            setattr(self, name, arr["arr_0"])
+
+    def load_elevation(self, fn):
+        self.load_array(fn, "elev")
+
+    def load_slope(self, fn):
+        self.load_array(fn, "mag")
+
+    def load_direction(self, fn):
+        self.load_array(fn, "direction")
+
+    def load_uca(self, fn):
+        self.load_array(fn, "uca")
+
     # -- conditioning ------------------------------------------------------
 
     def calc_fill_flats(self):

@@ -168,6 +168,20 @@ def pixel_scales(transform, nrows, projected=False, ellipsoid="WGS-84"):
     return dX, dY, dX2, dY2
 
 
+def get_fn_from_coords(coords, name=None):
+    """Standard tile filename from (LLC.lat, LLC.lon, URC.lat, URC.lon)
+    (utils.py:101-124): e.g. ``N45o5W-72_N46W-71o5_elev.tif``."""
+    NS1 = ["S", "N"][coords[0] > 0]
+    EW1 = ["W", "E"][coords[1] > 0]
+    NS2 = ["S", "N"][coords[2] > 0]
+    EW2 = ["W", "E"][coords[3] > 0]
+    new_name = "%s%0.3g%s%0.3g_%s%0.3g%s%0.3g" % (
+        NS1, coords[0], EW1, coords[1], NS2, coords[2], EW2, coords[3])
+    if name is not None:
+        new_name += "_" + name
+    return new_name.replace(".", "o") + ".tif"
+
+
 def mk_transform(lat_top, lon_left, dlat, dlon, lat_lon_centered=False):
     """GDAL-style 6-tuple affine for a north-up geographic raster.
 

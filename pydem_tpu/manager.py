@@ -45,7 +45,7 @@ class ProcessManager:
 
     def __init__(self, in_path=".", n_workers=1, out_path=None,
                  dem_proc_kwargs=None, grid_round_decimals=2, _debug=False,
-                 mesh=None):
+                 mesh=None, resume=False):
         self.in_path = in_path
         self.n_workers = n_workers  # accepted for API parity; device-parallel
         self.out_path = out_path or os.path.join(in_path, "results.zarr")
@@ -53,6 +53,10 @@ class ProcessManager:
         self.grid_round_decimals = grid_round_decimals
         self._debug = _debug
         self.mesh = mesh
+        # crash-resume: stages whose output arrays already exist in the
+        # store are skipped (the reference's per-tile success-skip,
+        # process_manager.py:1274-1275, at stage granularity)
+        self.resume = resume
 
         self.elev_source_files = sorted(
             os.path.join(in_path, fn) for fn in os.listdir(in_path)
@@ -135,10 +139,18 @@ class ProcessManager:
                                 **self.dem_proc_kwargs)
         return self._dp
 
+    def _resume_hit(self, key):
+        return self.resume and key in self.out_file
+
     def process_elevation(self, indices=None):
         if self.grid_shape is None:
             self.compute_grid()
         dp = self._processor()
+        if self._resume_hit("elev"):
+            dp.elev = self.out_file["elev"]
+            dp.fill_flats = False
+            dp.drain_pits_path = False
+            return dp.elev
         if dp.fill_flats:
             dp.calc_fill_flats()
         if dp.drain_pits_path:
@@ -152,6 +164,11 @@ class ProcessManager:
         # re-runs are guarded by its flags
         dp.fill_flats = False
         dp.drain_pits_path = False
+        if self._resume_hit("aspect") and self._resume_hit("slope"):
+            dp.direction = self.out_file["aspect"]
+            dp.mag = self.out_file["slope"]
+            dp.flats = dp.mag == -1
+            return dp.mag, dp.direction
         dp.calc_slopes_directions()
         self.out_file["aspect"] = dp.direction
         self.out_file["slope"] = dp.mag
@@ -159,6 +176,9 @@ class ProcessManager:
 
     def process_uca(self, indices=None):
         dp = self._processor()
+        if self._resume_hit("uca"):
+            dp.uca = self.out_file["uca"]
+            return dp.uca
         dp.calc_uca()
         self.out_file["uca"] = dp.uca
         self.out_file["edge_todo"] = np.zeros(dp.uca.shape, bool)
