@@ -110,6 +110,9 @@ class DEMProcessor:
     # "host" = exact reference semantics (numpy); "device" = on-device
     # label-flood/segment-reduction implementation (core.flats_device)
     conditioning_backend = "host"
+    # "host" = serial per-pit growth; "device" = vmapped window growth
+    # (ops.pit_growth)
+    pit_backend = "host"
 
     CONFIG_KEYS = [
         "fill_flats", "fill_flats_below_sea", "fill_flats_source_tol",
@@ -120,8 +123,19 @@ class DEMProcessor:
         "apply_uca_limit_edges", "apply_twi_limits", "apply_twi_limits_on_uca",
         "uca_saturation_limit", "twi_min_slope", "maximum_pit_area",
         "circular_ref_maxcount", "uca_check_every", "uca_max_iters",
-        "conditioning_backend",
+        "conditioning_backend", "pit_backend",
     ]
+
+    def _connectivity_pits(self):
+        if self.pit_backend == "device":
+            from .ops.pit_growth import connectivity_pits_device as fn
+        else:
+            fn = cond.connectivity_pits
+        return fn(self.flats, self.elev, self.mag, self.dX, self.dY,
+                  max_iter=self.drain_pits_max_iter,
+                  max_dist=self.drain_pits_max_dist,
+                  max_dist_XY=self.drain_pits_max_dist_XY,
+                  min_border=self.drain_pits_min_border)
 
     def __init__(self, elev_fn=None, **kwargs):
         if elev_fn:
@@ -285,13 +299,7 @@ class DEMProcessor:
         pit_src = pit_dst = pit_w = np.zeros(0)
         flats2, mag2 = self.flats, self.mag
         if self.drain_pits:
-            pit_src, pit_dst, pit_w, flats2, mag2 = cond.connectivity_pits(
-                self.flats, self.elev, self.mag, self.dX, self.dY,
-                max_iter=self.drain_pits_max_iter,
-                max_dist=self.drain_pits_max_dist,
-                max_dist_XY=self.drain_pits_max_dist_XY,
-                min_border=self.drain_pits_min_border,
-            )
+            pit_src, pit_dst, pit_w, flats2, mag2 = self._connectivity_pits()
             keep = pit_w > 1e-8  # adjacency pruning, dem_processing.py:1136
             pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
 
@@ -352,12 +360,7 @@ class DEMProcessor:
         pit_src = pit_dst = pit_w = np.zeros(0)
         flats2, mag2 = self.flats, self.mag
         if self.drain_pits:
-            pit_src, pit_dst, pit_w, flats2, mag2 = cond.connectivity_pits(
-                self.flats, self.elev, self.mag, self.dX, self.dY,
-                max_iter=self.drain_pits_max_iter,
-                max_dist=self.drain_pits_max_dist,
-                max_dist_XY=self.drain_pits_max_dist_XY,
-                min_border=self.drain_pits_min_border)
+            pit_src, pit_dst, pit_w, flats2, mag2 = self._connectivity_pits()
             keep = pit_w > 1e-8
             pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
         has_pits = pit_src.size > 0
