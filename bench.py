@@ -86,6 +86,92 @@ def bench_reference(n):
     return n * n / dt
 
 
+def make_hard_terrain(n, dtype="float64"):
+    """Quantized noisy cone: flats + pits from quantization, plus a masked
+    below-sea region (the reference's hard-terrain regimes)."""
+    rng = np.random.RandomState(7)
+    x, y = np.mgrid[-1:1:complex(0, n), -1:1:complex(0, n)]
+    elev = 1 - np.sqrt(x**2 + y**2) / np.sqrt(2.0) + rng.randn(n, n) * 0.002
+    elev = np.round(elev * 150) / 150  # quantization flats/pits
+    elev = elev - elev.min() + 0.05
+    elev[(x > 0.8) & (np.abs(y) < 0.1)] = 0.0  # sea notch
+    return elev.astype(dtype)
+
+
+def bench_slope_only(n):
+    import jax
+    import jax.numpy as jnp
+    from pydem_tpu.core.slope_direction import find_flats_edges, slopes_directions
+
+    @jax.jit
+    def prog(elev, dX, dY):
+        mag, direction = slopes_directions(elev, dX, dY)
+        flats = find_flats_edges(elev, mag, direction)
+        return mag, direction, flats
+
+    elev = jnp.asarray(make_cone(n))
+    dX = jnp.ones(n - 1, jnp.float32)
+    eps = [jnp.float32(1e-6 * (i + 1)) for i in range(6)]
+    out = prog(elev + eps[-1], dX, dX)
+    np.asarray(out[0])
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = prog(elev + eps[i], dX, dX)
+        float(out[0][0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    return n * n / dt, dt
+
+
+def bench_hard_terrain(n):
+    """Full DEMProcessor chain (device backends) on pit/flat-rich terrain,
+    including host orchestration and conditioning."""
+    import warnings
+
+    from pydem_tpu import DEMProcessor
+
+    elev = make_hard_terrain(n)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        t0 = time.perf_counter()
+        dp = DEMProcessor(elev=elev, conditioning_backend="device",
+                          pit_backend="device")
+        dp.calc_twi()
+        dt = time.perf_counter() - t0
+    return n * n / dt, dt, dp
+
+
+def full_report(primary):
+    lines = ["# pydem_tpu benchmark report", "",
+             "Metrics per BASELINE.json configs; one TPU v5e chip via the "
+             "axon tunnel.", ""]
+    v, dt = bench_slope_only(N_TPU)
+    lines.append("- slope/aspect only (%d²): **%.1f Mpx/s** (%.4f s)"
+                 % (N_TPU, v / 1e6, dt))
+    lines.append("- full chain slope+UCA+TWI (%d² cone): **%.1f Mpx/s** "
+                 "(%.4f s, %d UCA iters, vs_baseline %.1fx)"
+                 % (N_TPU, primary["value"] / 1e6,
+                    primary["detail"]["seconds_per_run"],
+                    primary["detail"]["uca_sweeps"],
+                    primary["vs_baseline"] or 0))
+    n_hard = max(512, N_TPU // 2)
+    v, dt, dp = bench_hard_terrain(n_hard)
+    lines.append("- hard terrain full chain incl. conditioning (%d², "
+                 "quantized noisy cone + sea notch): **%.2f Mpx/s** (%.2f s, "
+                 "%d UCA sweeps)" % (n_hard, v / 1e6, dt,
+                                     getattr(dp, "uca_sweeps", -1)))
+    lines.append("")
+    lines.append("Multi-chip: single chip available here; sharded-equivalence"
+                 " is validated on an 8-device CPU mesh (tests/test_sharded"
+                 ".py) and via the driver's dryrun_multichip.")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "benchmarks", "REPORT.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines), file=sys.stderr)
+
+
 def main():
     value, dt, sweeps, platform = bench_tpu(N_TPU)
 
@@ -109,14 +195,17 @@ def main():
             baseline = None
 
     vs = (value / baseline) if baseline else None
-    print(json.dumps({
+    primary = {
         "metric": "DEM grid-points/sec/chip, full chain slope+UCA(converged)+TWI, %d^2 cone, %s" % (N_TPU, platform),
         "value": round(value),
         "unit": "px/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "detail": {"seconds_per_run": round(dt, 4), "uca_sweeps": sweeps,
                    "reference_px_per_s": round(baseline) if baseline else None},
-    }))
+    }
+    if "--full" in sys.argv:
+        full_report(primary)
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

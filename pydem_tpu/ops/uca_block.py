@@ -39,23 +39,15 @@ HR = 8     # row padding (sublane tile)
 HC = 128   # col padding (lane tile)
 
 
-def _block_kernel(xp_ref, wp_ref, base_ref, out_ref, chg_ref,
-                  x_s, x0_s, w_s, sems, *, B, inner_max):
+def _block_kernel(x_ref, w_ref, base_ref, out_ref, chg_ref, x_s, x0_s,
+                  *, B, inner_max):
+    """Iterate one (pre-exploded, halo-carrying) block in VMEM until locally
+    converged.  Inputs arrive via BlockSpec auto-pipelining (double-buffered
+    contiguous tiles) — no manual DMA."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    # aligned halo window: rows [i*B, i*B + B + 2*HR), cols [j*B, ... + 2*HC)
-    copy_x = pltpu.make_async_copy(
-        xp_ref.at[pl.ds(i * B, B + 2 * HR), pl.ds(j * B, B + 2 * HC)],
-        x_s, sems.at[0])
-    copy_w = pltpu.make_async_copy(
-        wp_ref.at[:, pl.ds(i * B, B + 2 * HR), pl.ds(j * B, B + 2 * HC)],
-        w_s, sems.at[1])
-    copy_x.start()
-    copy_w.start()
-    copy_x.wait()
-    copy_w.wait()
-
+    x_s[:] = x_ref[0]
     x0_s[:] = x_s[HR: HR + B, HC: HC + B]
     base = base_ref[:]
 
@@ -63,7 +55,7 @@ def _block_kernel(xp_ref, wp_ref, base_ref, out_ref, chg_ref,
         """One Jacobi sweep updating the interior of x_s in place (halo
         frozen); returns whether anything changed."""
         x = x_s[:]
-        w = w_s[:]
+        w = w_ref[0]  # (8, B+2HR, B+2HC) tile for this block
         acc = base
         for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
             # receiver p interior at (HR..HR+B, HC..HC+B); source q = p - o_k
@@ -80,7 +72,12 @@ def _block_kernel(xp_ref, wp_ref, base_ref, out_ref, chg_ref,
 
     def body(state):
         it, _changed = state
-        return it + 1, sweep_into_scratch()
+        # batch sweeps per convergence check: the any() reduce costs about
+        # as much as a sweep, and extra sweeps past the fixed point are
+        # no-ops numerically
+        for _ in range(3):
+            sweep_into_scratch()
+        return it + 4, sweep_into_scratch()
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
 
@@ -89,17 +86,37 @@ def _block_kernel(xp_ref, wp_ref, base_ref, out_ref, chg_ref,
         x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
 
 
-def _round(x, w_pad, base, *, B, inner_max, interpret):
+def _explode(xp, nb_i, nb_j, B, planes=None):
+    """Gather overlapping halo windows into contiguous per-block tiles:
+    (nb_i*nb_j, [planes,] B+2HR, B+2HC)."""
+    idx = jnp.arange(nb_i * nb_j)
+    ii = (idx // nb_j) * B
+    jj = (idx % nb_j) * B
+    if planes is None:
+        def one(i0, j0):
+            return jax.lax.dynamic_slice(xp, (i0, j0),
+                                         (B + 2 * HR, B + 2 * HC))
+    else:
+        def one(i0, j0):
+            return jax.lax.dynamic_slice(xp, (0, i0, j0),
+                                         (planes, B + 2 * HR, B + 2 * HC))
+    return jax.vmap(one)(ii, jj)
+
+
+def _round(x, w_tiles, base, *, B, inner_max, interpret):
     n, m = x.shape
     nb_i, nb_j = n // B, m // B
     xp = jnp.pad(x, ((HR, HR), (HC, HC)))
+    x_tiles = _explode(xp, nb_i, nb_j, B)
     kernel = functools.partial(_block_kernel, B=B, inner_max=inner_max)
     x_new, changed = pl.pallas_call(
         kernel,
         grid=(nb_i, nb_j),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),   # x padded
-            pl.BlockSpec(memory_space=pltpu.HBM),   # W padded
+            pl.BlockSpec((1, B + 2 * HR, B + 2 * HC),
+                         lambda i, j: (i * pl.num_programs(1) + j, 0, 0)),
+            pl.BlockSpec((1, 8, B + 2 * HR, B + 2 * HC),
+                         lambda i, j: (i * pl.num_programs(1) + j, 0, 0, 0)),
             pl.BlockSpec((B, B), lambda i, j: (i, j)),  # base block
         ],
         out_specs=[
@@ -115,11 +132,9 @@ def _round(x, w_pad, base, *, B, inner_max, interpret):
         scratch_shapes=[
             pltpu.VMEM((B + 2 * HR, B + 2 * HC), x.dtype),
             pltpu.VMEM((B, B), x.dtype),
-            pltpu.VMEM((8, B + 2 * HR, B + 2 * HC), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, w_pad, base)
+    )(x_tiles, w_tiles, base)
     return x_new, changed
 
 
@@ -139,7 +154,9 @@ def accumulate_blocked(base, W, B=256, inner_max=None, max_rounds=100_000,
     assert n % B == 0 and m % B == 0, "canvas must be padded to block size"
     if inner_max is None:
         inner_max = 2 * B + 4
+    nb_i, nb_j = n // B, m // B
     w_pad = jnp.pad(W, ((0, 0), (HR, HR), (HC, HC)))
+    w_tiles = _explode(w_pad, nb_i, nb_j, B, planes=8)
 
     def cond(state):
         _x, changed, rounds = state
@@ -147,12 +164,58 @@ def accumulate_blocked(base, W, B=256, inner_max=None, max_rounds=100_000,
 
     def body(state):
         x, _c, rounds = state
-        x_new, chg = _round(x, w_pad, base, B=B, inner_max=inner_max,
+        x_new, chg = _round(x, w_tiles, base, B=B, inner_max=inner_max,
                             interpret=interpret)
         return x_new, jnp.sum(chg), rounds + 1
 
-    x0, chg0 = _round(base, w_pad, base, B=B, inner_max=inner_max,
+    x0, chg0 = _round(base, w_tiles, base, B=B, inner_max=inner_max,
                       interpret=interpret)
     x, _, rounds = jax.lax.while_loop(
         cond, body, (x0, jnp.sum(chg0), jnp.int32(1)))
+    return x, rounds
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "inner_max", "max_rounds",
+                                    "interpret"))
+def accumulate_blocked_pits(base, W, pit_src, pit_dst, pit_w, B=256,
+                            inner_max=None, max_rounds=100_000,
+                            interpret=False):
+    """Blocked relaxation with non-adjacent pit links.
+
+    Pit links (dem_processing.py:1269-1382) connect pixels farther than one
+    step apart, so they cannot ride the 3×3 stencil.  They are folded into
+    the *base* between block rounds: solve x = base + P·x_prev + A·x, update
+    the pit contribution, repeat — a nested fixed point that converges to
+    x = base + (A+P)·x since both operators are nonnegative and the combined
+    graph is the reference's pruned (acyclic) drainage graph.
+    """
+    n, m = base.shape
+    assert n % B == 0 and m % B == 0
+    if inner_max is None:
+        inner_max = 2 * B + 4
+    nb_i, nb_j = n // B, m // B
+    w_pad = jnp.pad(W, ((0, 0), (HR, HR), (HC, HC)))
+    w_tiles = _explode(w_pad, nb_i, nb_j, B, planes=8)
+
+    def pit_base(x):
+        contrib = x.ravel()[pit_src] * pit_w
+        return base.ravel().at[pit_dst].add(contrib).reshape(base.shape)
+
+    def body(state):
+        x, _chg, rounds = state
+        b_eff = pit_base(x)
+        x1, chg1 = _round(x, w_tiles, b_eff, B=B, inner_max=inner_max,
+                          interpret=interpret)
+        changed = jnp.sum(chg1) + jnp.any(x1 != x).astype(jnp.int32)
+        return x1, jnp.where(jnp.any(x1 != x), changed, 0), rounds + 1
+
+    def cond(state):
+        _x, chg, rounds = state
+        return jnp.logical_and(chg > 0, rounds < max_rounds)
+
+    x0, chg0 = _round(base, w_tiles, base, B=B, inner_max=inner_max,
+                      interpret=interpret)
+    x, _, rounds = jax.lax.while_loop(
+        cond, body, (x0, jnp.sum(chg0) + 1, jnp.int32(1)))
     return x, rounds

@@ -30,3 +30,51 @@ def test_blocked_matches_jacobi(testnum):
     # block-rounds scale with path length in block units — strictly fewer
     # than the plain per-pixel sweeps (path length in pixels)
     assert int(rounds) < int(_sweeps)
+
+
+@pytest.mark.parametrize("testnum", [13, 16])
+def test_blocked_with_pits_matches(testnum):
+    """Blocked solver with pit links == the dense Jacobi with pit links."""
+    import warnings
+
+    import jax
+
+    from pydem_tpu import DEMProcessor, fixtures
+    from pydem_tpu.ops.uca_block import accumulate_blocked_pits
+
+    n = 32
+    elev, _a, _u = fixtures.get_test_case(testnum, n)
+    # conditioning off so pits survive to the UCA stage and create links
+    opts = dict(fill_flats=False, drain_pits_path=False)
+    dp = DEMProcessor(elev=elev, **opts)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_uca = dp.calc_uca()  # jacobi path incl. pit links
+
+    from pydem_tpu.core import conditioning as cond
+    from pydem_tpu.core.receivers import receiver_weights, section_proportion
+
+    dp2 = DEMProcessor(elev=elev, **opts)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dp2.calc_slopes_directions()
+        section, proportion = section_proportion(
+            jnp.asarray(dp2.direction), jnp.asarray(dp2.flats),
+            jnp.asarray(dp2.dX), jnp.asarray(dp2.dY))
+        ps, pd, pw, flats2, _mag2 = cond.connectivity_pits(
+            dp2.flats, dp2.elev, dp2.mag, dp2.dX, dp2.dY)
+    keep = pw > 1e-8
+    ps, pd, pw = ps[keep], pd[keep], pw[keep]
+    W = receiver_weights(section, proportion, jnp.asarray(dp2.elev))
+    base = base_area(jnp.asarray(dp2.dX2), jnp.asarray(dp2.dY2),
+                     elev.shape, jnp.asarray(dp2.elev).dtype)
+    if ps.size == 0:
+        pytest.skip("case has no pit links")
+    got, _rounds = accumulate_blocked_pits(
+        base, W, jnp.asarray(ps), jnp.asarray(pd), jnp.asarray(pw),
+        B=8, interpret=True)
+    got = np.where(np.asarray(flats2), np.nan, np.asarray(got))
+    both_nan = np.isnan(ref_uca) & np.isnan(got)
+    np.testing.assert_array_almost_equal(
+        np.where(both_nan, 0, ref_uca), np.where(both_nan, 0, got),
+        decimal=8)
