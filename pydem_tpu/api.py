@@ -45,17 +45,39 @@ def _section_program(direction, flats, dX, dY):
     return section_proportion(direction, flats, dX, dY)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "check_every", "has_pits"))
+@partial(jax.jit, static_argnames=("max_iters", "check_every", "has_pits",
+                                   "solver"))
 def _uca_program(elev, section, proportion, flats2, dX2, dY2,
                  pit_src, pit_dst, pit_w, has_pits,
-                 max_iters, check_every):
+                 max_iters, check_every, solver="jacobi"):
     W = receiver_weights(section, proportion, elev)
     base = base_area(dX2, dY2, elev.shape, elev.dtype)
     min_area = jnp.nanmin(base)
     if not has_pits:
         pit_src = pit_dst = pit_w = None
-    area, n_sweeps = accumulate(base, W, pit_src, pit_dst, pit_w,
-                                max_iters=max_iters, check_every=check_every)
+    if solver == "blocked":
+        from .ops.uca_block import accumulate_blocked, accumulate_blocked_pits
+
+        n, m = elev.shape
+        B = 256 if min(n, m) >= 256 else 128
+        pn, pm = (-n) % B, (-m) % B
+        base_p = jnp.pad(base, ((0, pn), (0, pm)))
+        W_p = jnp.pad(W, ((0, 0), (0, pn), (0, pm)))
+        if has_pits:
+            # remap flat indices into the padded canvas
+            src_i, src_j = pit_src // m, pit_src % m
+            dst_i, dst_j = pit_dst // m, pit_dst % m
+            ps = src_i * (m + pm) + src_j
+            pd = dst_i * (m + pm) + dst_j
+            area, n_sweeps = accumulate_blocked_pits(base_p, W_p, ps, pd,
+                                                     pit_w, B=B)
+        else:
+            area, n_sweeps = accumulate_blocked(base_p, W_p, B=B)
+        area = area[:n, :m]
+    else:
+        area, n_sweeps = accumulate(base, W, pit_src, pit_dst, pit_w,
+                                    max_iters=max_iters,
+                                    check_every=check_every)
     area = finalize_uca(area, flats2)
     edge_todo = seeds_and_edge_todo(W, section, elev)
     return area, n_sweeps, min_area, edge_todo
@@ -113,6 +135,9 @@ class DEMProcessor:
     # "host" = serial per-pit growth; "device" = vmapped window growth
     # (ops.pit_growth)
     pit_backend = "host"
+    # "jacobi" = global dense sweeps (works everywhere, exact reference
+    # semantics); "blocked" = Pallas VMEM-resident block relaxation (TPU)
+    uca_solver = "jacobi"
 
     CONFIG_KEYS = [
         "fill_flats", "fill_flats_below_sea", "fill_flats_source_tol",
@@ -123,7 +148,7 @@ class DEMProcessor:
         "apply_uca_limit_edges", "apply_twi_limits", "apply_twi_limits_on_uca",
         "uca_saturation_limit", "twi_min_slope", "maximum_pit_area",
         "circular_ref_maxcount", "uca_check_every", "uca_max_iters",
-        "conditioning_backend", "pit_backend",
+        "conditioning_backend", "pit_backend", "uca_solver",
     ]
 
     def _connectivity_pits(self):
@@ -310,7 +335,8 @@ class DEMProcessor:
             jnp.asarray(self.elev), section, proportion, jnp.asarray(flats2),
             jnp.asarray(self.dX2), jnp.asarray(self.dY2),
             jnp.asarray(pit_src), jnp.asarray(pit_dst), jnp.asarray(pit_w),
-            has_pits, self.uca_max_iters, self.uca_check_every)
+            has_pits, self.uca_max_iters, self.uca_check_every,
+            solver=self.uca_solver)
         self.uca_sweeps = int(n_sweeps)
         self.twi_min_area = min(self.twi_min_area, float(min_area))
 
