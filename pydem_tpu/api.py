@@ -310,6 +310,13 @@ class DEMProcessor:
     # -- UCA ---------------------------------------------------------------
 
     def calc_uca(self, plotflag=False, edge_init_data=None, uca_init=None):
+        if self.drain_flats or self.drain_pits_spill:
+            # deprecated reference modes (dem_processing.py:1384-1645): the
+            # spill variant contains dead debug code and a matplotlib import
+            # inside its hot loop; both are superseded by drain_pits
+            raise NotImplementedError(
+                "drain_flats / drain_pits_spill are deprecated reference "
+                "modes; use the default drain_pits")
         if self.direction is None:
             self.calc_slopes_directions()
         if uca_init is not None:

@@ -254,20 +254,26 @@ class ProcessManager:
         write_geotiff(fn, self.out_file[key].astype("float32"),
                       self.transform, nodata=-9999, compress=True)
 
-    def process_overviews(self, keys=("twi",), factors=(3, 9, 27)):
+    def process_overviews(self, keys=("twi",), factors=(3, 9, 27),
+                          method="mean"):
         """Store overview pyramids in the zarr store (reference :933-991)."""
         for key in keys:
             data = self.out_file[key]
             for fac in factors:
                 if min(data.shape) // fac < 1:
                     break
-                self.out_file["%s_%d" % (key, fac)] = _mean_downsample(data, fac)
+                self.out_file["%s_%d" % (key, fac)] = _mean_downsample(
+                    data, fac, method)
 
 
-def _mean_downsample(data, fac):
+def _mean_downsample(data, fac, method="mean"):
+    """Overview resampling (reference uses rasterio Resampling.<type>;
+    'mean' and 'nearest' cover its defaults)."""
     n, m = data.shape
     n2, m2 = n // fac, m // fac
     trimmed = data[: n2 * fac, : m2 * fac]
+    if method == "nearest":
+        return trimmed[::fac, ::fac].copy()
     with np.errstate(invalid="ignore"):
         return np.nanmean(
             trimmed.reshape(n2, fac, m2, fac), axis=(1, 3))
