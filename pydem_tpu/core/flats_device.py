@@ -223,30 +223,41 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
 
         d0 = jnp.where(seed_in, 0.0, big)
 
-        def body(state):
-            d, out, frozen, _changed = state
+        # Phase A (pure stencil): arrival sweep per pixel — the sweep index
+        # at which each region pixel first becomes reachable.
+        def body_a(state):
+            d, arr, sweep, _chg = state
             dn = relax(d)
-            reached_all = _seg(
-                "min", jnp.where(flat, (dn < big).astype(jnp.int32), 1).ravel(),
-                lbl_flat, N + 1, 1) > 0
-            freeze_now = reached_all & ~frozen
-            fz_px = freeze_now[lbl_flat].reshape(n, m) & flat
-            out = jnp.where(fz_px, dn, out)
-            return dn, out, frozen | reached_all, jnp.any(dn != d)
+            newly = (dn < big) & (arr < 0)
+            arr = jnp.where(newly, sweep + 1, arr)
+            return dn, arr, sweep + 1, jnp.any(dn != d)
 
-        def cond(state):
-            _d, _out, frozen, changed = state
-            region_exists = count[:N] > 0
-            return jnp.logical_and(jnp.any(region_exists & ~frozen[:N]),
-                                   changed)
+        arr0 = jnp.where(d0 < big, 0, -1)
+        d_fin, arrival, _max_sweep, _ = jax.lax.while_loop(
+            lambda s: s[3], body_a,
+            (d0, arr0, jnp.int32(0), jnp.asarray(True)))
 
-        out0 = jnp.full((n, m), big)
+        # One segment reduction: each region's freeze sweep = its last
+        # arrival (the reference breaks out of get_distance at that sweep).
+        T = _seg("max", jnp.where(flat, arrival, -1).ravel(), lbl_flat,
+                 N + 1, -1)
+        T_px = T[lbl_flat].reshape(n, m)
+
+        # Phase B (pure stencil): rerun, capturing each pixel's value at its
+        # region's freeze sweep.  Unreached regions keep converged values.
+        def body_b(state):
+            d, out, sweep, _chg = state
+            dn = relax(d)
+            out = jnp.where(flat & (T_px == sweep + 1), dn, out)
+            return dn, out, sweep + 1, jnp.any(dn != d)
+
+        out0 = jnp.where(flat & (T_px <= 0), d0, jnp.full((n, m), big))
         out0 = jnp.where(seed_in, 0.0, out0)
-        d_fin, out, frozen_fin, _ = jax.lax.while_loop(
-            cond, body, (d0, out0, jnp.zeros(N + 1, bool), jnp.asarray(True)))
-        # regions that never fully arrived (seedless): converged values
-        unfrozen_px = (~frozen_fin)[lbl_flat].reshape(n, m) & flat
-        out = jnp.where(unfrozen_px, d_fin, out)
+        d_fin, out, _, _ = jax.lax.while_loop(
+            lambda s: s[3], body_b, (d0, out0, jnp.int32(0),
+                                     jnp.asarray(True)))
+        # seedless regions never get a positive T: converged values
+        out = jnp.where(flat & (T_px < 0), d_fin, out)
         return out
 
     def src_seed_out(q_e, q_flat, di, dj):
