@@ -10,3 +10,8 @@ __version__ = "0.1.0"
 
 from .api import DEMProcessor  # noqa: F401
 from . import fixtures, geometry  # noqa: F401
+
+# reference-compatible module aliases (pydem exposes process_manager and
+# utils_test_pydem at the package root, reference __init__.py:16-18)
+from . import manager as process_manager  # noqa: F401
+utils_test_pydem = fixtures

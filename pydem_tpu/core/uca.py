@@ -160,19 +160,19 @@ def seeds_and_edge_todo(W, section, elev, pit_dst=None):
     (dem_processing.py:909-930): which true-grid-edge pixels still await
     contributions from a neighboring tile.
 
-    Returns a boolean (n, m) mask that is nonzero only on the 1-px border.
-    ``A[:, edge].sum(0) > TOL`` in the reference is the total *outflow* of
-    edge pixels; combined with a section test for "flow entering the tile
-    across this edge".
+    ``A[:, edge].sum(0)`` in the reference is the total *outflow* of edge
+    pixels; combined with a section test for "flow entering the tile across
+    this edge".  Corners additionally act as pass-throughs in 1-px-overlap
+    tilings: a corner with outflow OR without inflow is marked todo
+    (dem_processing.py:920-930).
     """
     n, m = elev.shape
     TOL = 1e-2
     outflow = jnp.zeros(elev.shape, elev.dtype)
-    for k in range(8):
+    inflow = jnp.zeros(elev.shape, elev.dtype)
+    for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
         outflow = outflow + W[k]
-    if pit_dst is not None and pit_dst.size:
-        # pit links add outflow at their source pixels; handled by caller
-        pass
+        inflow = inflow + scatter_shift(W[k], di, dj, 0.0)
 
     edge_todo = jnp.zeros((n, m), bool)
     sec = section
@@ -184,4 +184,7 @@ def seeds_and_edge_todo(W, section, elev, pit_dst=None):
     edge_todo = edge_todo.at[:, -1].set(right)
     edge_todo = edge_todo.at[0, :].set(top)
     edge_todo = edge_todo.at[-1, :].set(bottom)
+    for ci, cj in ((0, 0), (0, m - 1), (n - 1, 0), (n - 1, m - 1)):
+        passthrough = (outflow[ci, cj] > TOL) | (inflow[ci, cj] < TOL)
+        edge_todo = edge_todo.at[ci, cj].set(edge_todo[ci, cj] | passthrough)
     return edge_todo
