@@ -162,6 +162,26 @@ class DEMProcessor:
                   max_dist_XY=self.drain_pits_max_dist_XY,
                   min_border=self.drain_pits_min_border)
 
+    def _drain_links(self):
+        """Sparse (src, dst, weight) drain links + updated flats/mag for the
+        configured pit/flat mode, with the reference's mode precedence
+        (dem_processing.py:1094-1124: drain_pits, elif drain_flats, elif
+        drain_pits_spill)."""
+        if self.drain_pits:
+            return self._connectivity_pits()
+        if self.drain_flats:
+            return cond.connectivity_flats(self.flats, self.elev, self.mag,
+                                           self.dX)
+        if self.drain_pits_spill:
+            return cond.connectivity_pits_spill(
+                self.section, self.flats, self.elev, self.mag,
+                self.dX, self.dY,
+                max_iter=self.drain_pits_max_iter,
+                max_dist=self.drain_pits_max_dist,
+                max_dist_XY=self.drain_pits_max_dist_XY)
+        z = np.zeros(0)
+        return z.astype("int64"), z.astype("int64"), z, self.flats, self.mag
+
     def __init__(self, elev_fn=None, **kwargs):
         if elev_fn:
             kwds = read_geotiff_kwargs(elev_fn)
@@ -310,13 +330,6 @@ class DEMProcessor:
     # -- UCA ---------------------------------------------------------------
 
     def calc_uca(self, plotflag=False, edge_init_data=None, uca_init=None):
-        if self.drain_flats or self.drain_pits_spill:
-            # deprecated reference modes (dem_processing.py:1384-1645): the
-            # spill variant contains dead debug code and a matplotlib import
-            # inside its hot loop; both are superseded by drain_pits
-            raise NotImplementedError(
-                "drain_flats / drain_pits_spill are deprecated reference "
-                "modes; use the default drain_pits")
         if self.direction is None:
             self.calc_slopes_directions()
         if uca_init is not None:
@@ -328,12 +341,9 @@ class DEMProcessor:
         self.section = np.asarray(section)
         self.proportion = np.asarray(proportion)
 
-        pit_src = pit_dst = pit_w = np.zeros(0)
-        flats2, mag2 = self.flats, self.mag
-        if self.drain_pits:
-            pit_src, pit_dst, pit_w, flats2, mag2 = self._connectivity_pits()
-            keep = pit_w > 1e-8  # adjacency pruning, dem_processing.py:1136
-            pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
+        pit_src, pit_dst, pit_w, flats2, mag2 = self._drain_links()
+        keep = pit_w > 1e-8  # adjacency pruning, dem_processing.py:1136
+        pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
 
         has_pits = pit_src.size > 0
         pit_src, pit_dst, pit_w = _pad_pits(pit_src, pit_dst, pit_w)
@@ -390,12 +400,9 @@ class DEMProcessor:
         self.section = np.asarray(section)
         self.proportion = np.asarray(proportion)
 
-        pit_src = pit_dst = pit_w = np.zeros(0)
-        flats2, mag2 = self.flats, self.mag
-        if self.drain_pits:
-            pit_src, pit_dst, pit_w, flats2, mag2 = self._connectivity_pits()
-            keep = pit_w > 1e-8
-            pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
+        pit_src, pit_dst, pit_w, flats2, mag2 = self._drain_links()
+        keep = pit_w > 1e-8
+        pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
         has_pits = pit_src.size > 0
         pit_src, pit_dst, pit_w = _pad_pits(pit_src, pit_dst, pit_w)
         pits = ((jnp.asarray(pit_src), jnp.asarray(pit_dst),

@@ -2,10 +2,12 @@
 
 Host-side (numpy/scipy) implementations with exact reference semantics:
 
-- :func:`fill_pit_artifacts`  — dem_processing.py:396-426
-- :func:`fill_flats`          — dem_processing.py:305-394, 551-579
-- :func:`drain_pit_paths`     — dem_processing.py:428-548
-- :func:`connectivity_pits`   — dem_processing.py:1269-1382
+- :func:`fill_pit_artifacts`       — dem_processing.py:396-426
+- :func:`fill_flats`               — dem_processing.py:305-394, 551-579
+- :func:`drain_pit_paths`          — dem_processing.py:428-548
+- :func:`connectivity_pits`        — dem_processing.py:1269-1382
+- :func:`connectivity_pits_spill`  — dem_processing.py:1384-1508 (deprecated mode)
+- :func:`connectivity_flats`       — dem_processing.py:1510-1645 (deprecated mode)
 
 Conditioning is ingest-side preprocessing (runs once per tile, touches each
 pixel a handful of times); the hot path — slope/UCA/TWI — is fully on-device.
@@ -388,3 +390,194 @@ def connectivity_pits(flats, elev, mag, dX, dY, max_iter=300, max_dist=32,
                       % len(warn_pits))
     return (np.asarray(src, "int64"), np.asarray(dst, "int64"),
             np.asarray(wgt, "float64"), flats, mag)
+
+
+# ---------------------------------------------------------------------------
+# deprecated drain modes (dem_processing.py:1384-1645)
+#
+# The reference's spill/flats variants are non-default and partly broken
+# (matplotlib import inside the spill hot loop :1426; the flats mode's extra
+# drain links are concatenated as (i=flat_j, j=flat_j) self-loops :1114-1115;
+# spill's second receiver plane is read with an off-by-one stride
+# ``border + i12.max()`` :1436).  These implementations reproduce the modes'
+# *functioning* semantics — the parts the self-loop/stride bugs were clearly
+# meant to compute — as sparse link generators with the same output contract
+# as :func:`connectivity_pits`.  Divergences are listed in docs/PARITY.md.
+# ---------------------------------------------------------------------------
+
+def receiver_indices(section, shape):
+    """Flattened D∞ receiver indices (j1, j2) per pixel, -1 where invalid.
+
+    Host-side analog of ``_mk_connectivity`` (dem_processing.py:1155-1267):
+    j1 is the straight-neighbor receiver (facet e1), j2 the diagonal (e2);
+    out-of-grid receivers and flat pixels (section -1) are -1.  The
+    reference's per-edge facet subsets are equivalent to the in-grid test
+    applied per receiver.
+    """
+    from .stencil import FACET_E1, FACET_E2
+
+    nn, mm = shape
+    sec = np.asarray(section).ravel()
+    idx = np.arange(nn * mm)
+    i, j = idx // mm, idx % mm
+    valid = sec >= 0
+    s = np.clip(sec, 0, 7)
+    out = []
+    for table in (FACET_E1, FACET_E2):
+        di = np.asarray([t[0] for t in table])[s]
+        dj = np.asarray([t[1] for t in table])[s]
+        ti, tj = i + di, j + dj
+        ok = valid & (ti >= 0) & (ti < nn) & (tj >= 0) & (tj < mm)
+        plane = np.full(nn * mm, -1, "int64")
+        plane[ok] = ti[ok] * mm + tj[ok]
+        out.append(plane)
+    return out[0], out[1]
+
+
+def connectivity_pits_spill(section, flats, elev, mag, dX, dY, max_iter=300,
+                            max_dist=32, max_dist_XY=None):
+    """Watershed-spill drain links for pits (dem_processing.py:1384-1508).
+
+    Pits are processed in *descending* elevation order; each grows its
+    watershed over unclaimed (or earlier-claimed, when nested) pixels until a
+    frontier pixel's D∞ receiver escapes the claimed set — a spill point.
+    The pit drains with weight 1 to the nearest spill point; its magnitude
+    becomes ``|mean((e_pit - e_drains)/dist)|``.  Spill links may run uphill
+    (the reference exempts them from the downhill prune at :1130-1134).
+    """
+    flats = flats.copy()
+    mag = mag.copy()
+    e = elev.ravel()
+    shape = elev.shape
+    j1, j2 = receiver_indices(section, shape)
+
+    pits = np.where((flats & (elev > 0)).ravel())[0]
+    owner = np.zeros(elev.size, "int64")
+    src, dst, wgt = [], [], []
+    warn_pits = []
+    for pi, pit in enumerate(pits[np.argsort(e[pits])[::-1]]):
+        inside = int(owner[pit] > 0)  # nested inside an earlier watershed
+        owner[pit] = pi + 1
+        border = np.array([pit], "int64")
+        drain = np.array([], "int64")
+        for _ in range(max_iter):
+            border = _border_flat_indices(border, shape)
+            border = border[owner[border] <= pi * inside]
+            # re-check previous drains: a growing watershed can swallow them
+            border = np.concatenate([border, drain])
+            owner[border] = pi + 1
+            d1, d2 = j1[border], j2[border]
+            a_spill = (((owner[d1] <= inside * pi) & (d1 >= 0))
+                       | ((owner[d2] <= inside * pi) & (d2 >= 0)))
+            drain = border[a_spill]
+            owner[drain] = inside * pi
+            border = border[~a_spill]
+            if a_spill.all() or len(border) == 0:
+                break
+
+        if len(drain) == 0:
+            warn_pits.append(pit)
+            continue
+
+        ipit, jpit = np.unravel_index(pit, shape)
+        Id, Jd = np.unravel_index(drain, shape)
+        if max_dist:
+            b = np.sqrt((ipit - Id) ** 2 + (jpit - Jd) ** 2) <= max_dist
+            if not b.any():
+                warn_pits.append(pit)
+                continue
+            drain, Id, Jd = drain[b], Id[b], Jd[b]
+
+        dx = [_fence_mean(dX, ipit, i2) * (jpit - j2_) for i2, j2_ in zip(Id, Jd)]
+        dy = [dY[_ordered_slice(ipit, i2)].sum() for i2 in Id]
+        dxy = np.sqrt(np.asarray(dx) ** 2 + np.asarray(dy) ** 2)
+        if max_dist_XY:
+            b = dxy <= max_dist_XY
+            if not b.any():
+                warn_pits.append(pit)
+                continue
+            drain, dxy = drain[b], dxy[b]
+
+        s = (e[pit] - e[drain]) / dxy
+        if drain.size > 1:
+            drain = drain[[np.argmin(dxy)]]
+        src += [pit] * drain.size
+        dst += drain.tolist()
+        wgt += [1.0] * drain.size
+        mag[ipit, jpit] = np.abs(np.mean(s))
+        flats[ipit, jpit] = False
+
+    if warn_pits:
+        warnings.warn("%d pits had no place to drain to in this chunk"
+                      % len(warn_pits))
+    return (np.asarray(src, "int64"), np.asarray(dst, "int64"),
+            np.asarray(wgt, "float64"), flats, mag)
+
+
+def connectivity_flats(flats, elev, mag, dX):
+    """Flat-region drain links (dem_processing.py:1510-1645, deprecated mode).
+
+    Every pixel of a flat drains (weight 1) to the flat's lowest pixel; that
+    one pixel drains to the strictly-lower border pixels, proportional to
+    their slope magnitude.  Flats with no lower border distribute from their
+    lowest pixel across their own grid-edge pixels instead (the area then
+    leaves through the tile edge).  The flats/mag masks are *not* updated —
+    the reference leaves them untouched in this mode, so flat pixels still
+    read NaN in the final UCA while routing area through these links.
+    """
+    e = elev.ravel()
+    magr = np.asarray(mag, "float64").ravel()
+    nn, mm = flats.shape
+    labels, n_flats = ndi.label(flats, structure=STRUCT8)
+    labr = labels.ravel()
+    order = np.argsort(labr, kind="stable")
+    starts = np.searchsorted(labr[order], np.arange(1, n_flats + 2))
+
+    src, dst, wgt = [], [], []
+    warn_flats = []
+    loc_dx = dX.mean()
+    for ii in range(n_flats):
+        ids_flats = order[starts[ii]: starts[ii + 1]]
+        border = _border_flat_indices(ids_flats, (nn, mm))
+        flat_elev_loc = e[ids_flats]
+        # edges can merge two flats; use the lower elevation (:1551-1554)
+        flat_elev = flat_elev_loc.min()
+        I_filt = e[border] < flat_elev
+        loc_slope = magr[border][I_filt]
+
+        if len(loc_slope) == 0:
+            # nowhere lower: distribute along the grid edge if the flat
+            # touches it (:1572-1592; note the reference's `<= mm` top-row
+            # test, kept as-is)
+            on_edge = (((ids_flats % mm) == 0) | ((ids_flats % mm) == mm - 1)
+                       | (ids_flats <= mm) | (ids_flats >= mm * (nn - 1)))
+            if on_edge.sum() == 0:
+                warn_flats.append(ii)
+                continue
+            drain_ids = ids_flats[on_edge]
+            loc_proportions = magr[drain_ids].copy()
+            loc_proportions /= loc_proportions.sum()
+            ids_flats = ids_flats[~on_edge]
+            if len(ids_flats) == 0:
+                continue  # flat entirely on the edge: inflow just terminates
+            flat_elev_loc = flat_elev_loc[~on_edge]
+        else:
+            # the reference's tolerance test (:1594-1599) admits every
+            # strictly-lower border pixel (s + s·dx/2 >= min(s) always holds
+            # for s >= 0), i.e. proportions ∝ slope over all of them
+            min_edges = (loc_slope + loc_slope * loc_dx / 2) >= loc_slope.min()
+            drain_ids = border[I_filt][min_edges]
+            loc_proportions = loc_slope[min_edges]
+            loc_proportions /= loc_proportions.sum()
+
+        one_id = ids_flats[np.argmin(flat_elev_loc)]
+        others = ids_flats[ids_flats != one_id]
+        src += others.tolist() + [one_id] * len(drain_ids)
+        dst += [one_id] * len(others) + drain_ids.tolist()
+        wgt += [1.0] * len(others) + loc_proportions.tolist()
+
+    if warn_flats:
+        warnings.warn("%d flats had no place to drain to --> these are pits "
+                      "(check pit-remove algorithm)." % len(warn_flats))
+    return (np.asarray(src, "int64"), np.asarray(dst, "int64"),
+            np.asarray(wgt, "float64"), flats.copy(), mag.copy())

@@ -73,3 +73,29 @@ def test_no_conditioning_parity(testnum):
         ruca = ref.calc_uca()
         muca = mine.calc_uca()
         _cmp(ruca, muca, "uca", testnum, decimal=8)
+
+
+@pytest.mark.parametrize("mode", ["drain_flats", "drain_pits_spill"])
+@pytest.mark.parametrize("testnum", [0, 9, 11, 13, 18, 20, 24])
+def test_deprecated_drain_mode_parity(mode, testnum):
+    """The non-default drain modes (dem_processing.py:1384-1645) match the
+    reference end to end: drain_flats routes flat areas through each flat's
+    lowest pixel; drain_pits_spill drains each pit to its watershed spill
+    point with weight 1."""
+    import warnings
+
+    opts = {"drain_pits": False, mode: True}
+    ref, mine = _both(testnum, **opts)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ruca = ref.calc_uca()
+        muca = mine.calc_uca()
+        rtwi = ref.calc_twi()
+        mtwi = mine.calc_twi()
+    assert (np.isfinite(ruca) == np.isfinite(muca)).all(), \
+        "case %s %s: NaN pattern mismatch" % (testnum, mode)
+    both = np.isfinite(ruca) & np.isfinite(muca)
+    _cmp(ruca[both], muca[both], "uca(%s)" % mode, testnum, decimal=8)
+    tb = np.isfinite(rtwi) & np.isfinite(mtwi)
+    _cmp(rtwi[tb], mtwi[tb], "twi(%s)" % mode, testnum, decimal=8)
+    _cmp(ref.mag, mine.mag, "mag post-%s" % mode, testnum)
