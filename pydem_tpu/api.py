@@ -56,7 +56,8 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
     if not has_pits:
         pit_src = pit_dst = pit_w = None
     if solver == "blocked":
-        from .ops.uca_block import accumulate_blocked, accumulate_blocked_pits
+        from .ops.uca_block import (accumulate_blocked_gs,
+                                    accumulate_blocked_pits)
 
         n, m = elev.shape
         B = 256 if min(n, m) >= 256 else 128
@@ -72,7 +73,7 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
             area, n_sweeps = accumulate_blocked_pits(base_p, W_p, ps, pd,
                                                      pit_w, B=B)
         else:
-            area, n_sweeps = accumulate_blocked(base_p, W_p, B=B)
+            area, n_sweeps = accumulate_blocked_gs(base_p, W_p, B=B)
         area = area[:n, :m]
     else:
         area, n_sweeps = accumulate(base, W, pit_src, pit_dst, pit_w,

@@ -95,14 +95,14 @@ def terrain_step(elev, dX, dY, dX2, dY2, n_sweeps=None, uca_solver="jacobi",
         area = jax.lax.fori_loop(0, n_sweeps, body, base)
         sweeps = jnp.int32(n_sweeps)
     elif uca_solver == "blocked":
-        from ..ops.uca_block import accumulate_blocked
+        from ..ops.uca_block import accumulate_blocked_gs
 
         n, m = elev.shape
         B = 256 if min(n, m) >= 256 else 128
         pn, pm = (-n) % B, (-m) % B
         base_p = jnp.pad(base, ((0, pn), (0, pm)))
         W_p = jnp.pad(W, ((0, 0), (0, pn), (0, pm)))
-        area, sweeps = accumulate_blocked(base_p, W_p, B=B)
+        area, sweeps = accumulate_blocked_gs(base_p, W_p, B=B)
         area = area[:n, :m]
     else:
         area, sweeps = accumulate(base, W)

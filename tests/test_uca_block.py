@@ -32,6 +32,36 @@ def test_blocked_matches_jacobi(testnum):
     assert int(rounds) < int(_sweeps)
 
 
+@pytest.mark.parametrize("testnum", [33, 5])
+def test_blocked_gs_matches_jacobi(testnum):
+    """The Gauss-Seidel fast-sweeping variant reaches the same fixed point.
+
+    GS blocks read the live canvas (earlier blocks' results propagate within
+    the round) and rounds cycle the 4 corner orders; the per-orientation
+    canonical summation order makes the fixed point bitwise stable."""
+    from pydem_tpu.ops.uca_block import accumulate_blocked_gs
+
+    n = 32
+    elev, _a, _u = fixtures.get_test_case(testnum, n)
+    elev = jnp.asarray(elev)
+    dX = dY = jnp.ones(n - 1)
+    mag, direction = slopes_directions(elev, dX, dY)
+    flats = find_flats_edges(elev, mag, direction)
+    direction = jnp.where(flats, -1, direction)
+    section, proportion = section_proportion(direction, flats, dX, dY)
+    W = receiver_weights(section, proportion, elev)
+    base = base_area(jnp.ones(n), jnp.ones(n), elev.shape, elev.dtype)
+
+    ref, sweeps = accumulate(base, W)
+    got, rounds = accumulate_blocked_gs(base, W, B=8, inner_max=8,
+                                        interpret=True)
+    np.testing.assert_array_almost_equal(np.asarray(ref), np.asarray(got),
+                                         decimal=10)
+    # fast-sweeping rounds scale with flow-direction reversals, far fewer
+    # than per-pixel sweeps
+    assert int(rounds) < int(sweeps)
+
+
 @pytest.mark.parametrize("testnum", [13, 16])
 def test_blocked_with_pits_matches(testnum):
     """Blocked solver with pit links == the dense Jacobi with pit links."""
