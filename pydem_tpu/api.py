@@ -57,7 +57,7 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
         pit_src = pit_dst = pit_w = None
     if solver == "blocked":
         from .ops.uca_block import (accumulate_blocked_gs,
-                                    accumulate_blocked_pits)
+                                    accumulate_blocked_pits_gs)
 
         n, m = elev.shape
         B = 256 if min(n, m) >= 256 else 128
@@ -70,8 +70,8 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
             dst_i, dst_j = pit_dst // m, pit_dst % m
             ps = src_i * (m + pm) + src_j
             pd = dst_i * (m + pm) + dst_j
-            area, n_sweeps = accumulate_blocked_pits(base_p, W_p, ps, pd,
-                                                     pit_w, B=B)
+            area, n_sweeps = accumulate_blocked_pits_gs(base_p, W_p, ps, pd,
+                                                        pit_w, B=B)
         else:
             area, n_sweeps = accumulate_blocked_gs(base_p, W_p, B=B)
         area = area[:n, :m]

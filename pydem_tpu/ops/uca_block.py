@@ -295,6 +295,72 @@ def _flip2(a, flip_i, flip_j):
     return a
 
 
+def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
+    """Shared Gauss-Seidel round driver.
+
+    ``fold(x) -> effective base`` is re-evaluated (in canonical orientation)
+    at the start of every round — used to inject the non-adjacent pit-link
+    contributions.  With fold-before-relax, the per-block changed flags are a
+    sound convergence test: an unchanged round implies an unchanged fold.
+    """
+    n, m = base.shape
+    assert n % B == 0 and m % B == 0, "canvas must be padded to block size"
+    if inner_max is None:
+        inner_max = 2 * B + 4
+    nb_i, nb_j = n // B, m // B
+
+    w_pad = jnp.pad(W, ((0, 0), (HR, HR), (HC, HC)))
+
+    def build_tiles(i):
+        fi, fj = _FLIPS[i]
+        Wf = _flip2(w_pad, fi, fj)[jnp.array(_plane_perm(fi, fj)), :, :]
+        return _explode(Wf, nb_i, nb_j, B, planes=8)
+
+    # Pre-exploding all 4 orientations costs ~4 x 2.1 x sizeof(W) of HBM
+    # (17 GB at 8192² f32 — beyond one v5e).  Above a budget, build each
+    # orientation's tiles inside its round instead (~1 extra W-sized
+    # gather per round, <1 ms at 2048²).
+    tile_bytes = nb_i * nb_j * 8 * (B + 2 * HR) * (B + 2 * HC) * base.dtype.itemsize
+    precompute = 4 * tile_bytes <= 6e9
+    tiles_o = [build_tiles(i) for i in range(4)] if precompute else None
+
+    def one_round(o, xp, b_eff):
+        def mk(i):
+            def run(ops):
+                xp, b_eff = ops
+                fi, fj = _FLIPS[i]
+                xf = _flip2(xp, fi, fj)
+                bf = _flip2(b_eff, fi, fj)
+                tiles = tiles_o[i] if precompute else build_tiles(i)
+                # slot holding canonical neighbor c is perm[c] (involution)
+                xf, chg = _gs_round(xf, tiles, bf, B=B,
+                                    inner_max=inner_max, interpret=interpret,
+                                    order=_plane_perm(fi, fj))
+                return _flip2(xf, fi, fj), jnp.sum(chg)
+            return run
+        return jax.lax.switch(o, [mk(i) for i in range(4)], (xp, b_eff))
+
+    def interior(xp):
+        return xp[HR: HR + n, HC: HC + m]
+
+    xp0 = jnp.pad(base, ((HR, HR), (HC, HC)))
+    b0 = base if fold is None else fold(interior(xp0))
+    xp, chg0 = one_round(jnp.int32(0), xp0, b0)
+
+    def cond(state):
+        _xp, changed, rounds = state
+        return jnp.logical_and(changed > 0, rounds < max_rounds)
+
+    def body(state):
+        xp, _c, rounds = state
+        b = base if fold is None else fold(interior(xp))
+        xp, chg = one_round(rounds % 4, xp, b)
+        return xp, chg, rounds + 1
+
+    xp, _, rounds = jax.lax.while_loop(cond, body, (xp, chg0, jnp.int32(1)))
+    return interior(xp), rounds
+
+
 @functools.partial(jax.jit,
                    static_argnames=("B", "inner_max", "max_rounds",
                                     "interpret"))
@@ -311,48 +377,24 @@ def accumulate_blocked_gs(base, W, B=256, inner_max=None, max_rounds=100_000,
     between ~4-8 rounds and ~n/B rounds.  Same fixed point as plain
     block-Jacobi (chaotic relaxation on a nilpotent nonnegative operator).
     """
-    n, m = base.shape
-    assert n % B == 0 and m % B == 0, "canvas must be padded to block size"
-    if inner_max is None:
-        inner_max = 2 * B + 4
-    nb_i, nb_j = n // B, m // B
+    return _gs_driver(base, W, B, inner_max, max_rounds, interpret)
 
-    w_tiles_o = []
-    base_o = []
-    for (fi, fj) in _FLIPS:
-        Wf = _flip2(W, fi, fj)[jnp.array(_plane_perm(fi, fj)), :, :]
-        w_pad = jnp.pad(Wf, ((0, 0), (HR, HR), (HC, HC)))
-        w_tiles_o.append(_explode(w_pad, nb_i, nb_j, B, planes=8))
-        base_o.append(_flip2(base, fi, fj))
 
-    def one_round(o, xp):
-        def mk(i):
-            def run(xp):
-                fi, fj = _FLIPS[i]
-                xf = _flip2(xp, fi, fj)
-                # slot holding canonical neighbor c is perm[c] (involution)
-                order = _plane_perm(fi, fj)
-                xf, chg = _gs_round(xf, w_tiles_o[i], base_o[i], B=B,
-                                    inner_max=inner_max, interpret=interpret,
-                                    order=order)
-                return _flip2(xf, fi, fj), jnp.sum(chg)
-            return run
-        return jax.lax.switch(o, [mk(i) for i in range(4)], xp)
+@functools.partial(jax.jit,
+                   static_argnames=("B", "inner_max", "max_rounds",
+                                    "interpret"))
+def accumulate_blocked_pits_gs(base, W, pit_src, pit_dst, pit_w, B=256,
+                               inner_max=None, max_rounds=100_000,
+                               interpret=False):
+    """Gauss-Seidel blocked relaxation with non-adjacent pit links: the pit
+    contributions are folded into the effective base at the start of every
+    round (see :func:`accumulate_blocked_pits` for why this nested fixed
+    point is exact)."""
+    def fold(x):
+        contrib = x.ravel()[pit_src] * pit_w
+        return base.ravel().at[pit_dst].add(contrib).reshape(base.shape)
 
-    xp0 = jnp.pad(base, ((HR, HR), (HC, HC)))
-    xp, chg0 = one_round(jnp.int32(0), xp0)
-
-    def cond(state):
-        _xp, changed, rounds = state
-        return jnp.logical_and(changed > 0, rounds < max_rounds)
-
-    def body(state):
-        xp, _c, rounds = state
-        xp, chg = one_round(rounds % 4, xp)
-        return xp, chg, rounds + 1
-
-    xp, _, rounds = jax.lax.while_loop(cond, body, (xp, chg0, jnp.int32(1)))
-    return xp[HR: HR + n, HC: HC + m], rounds
+    return _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=fold)
 
 
 @functools.partial(jax.jit,

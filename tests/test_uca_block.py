@@ -100,11 +100,14 @@ def test_blocked_with_pits_matches(testnum):
                      elev.shape, jnp.asarray(dp2.elev).dtype)
     if ps.size == 0:
         pytest.skip("case has no pit links")
-    got, _rounds = accumulate_blocked_pits(
-        base, W, jnp.asarray(ps), jnp.asarray(pd), jnp.asarray(pw),
-        B=8, interpret=True)
-    got = np.where(np.asarray(flats2), np.nan, np.asarray(got))
-    both_nan = np.isnan(ref_uca) & np.isnan(got)
-    np.testing.assert_array_almost_equal(
-        np.where(both_nan, 0, ref_uca), np.where(both_nan, 0, got),
-        decimal=8)
+    from pydem_tpu.ops.uca_block import accumulate_blocked_pits_gs
+
+    for solver in (accumulate_blocked_pits, accumulate_blocked_pits_gs):
+        got, _rounds = solver(
+            base, W, jnp.asarray(ps), jnp.asarray(pd), jnp.asarray(pw),
+            B=8, inner_max=8, interpret=True)
+        got = np.where(np.asarray(flats2), np.nan, np.asarray(got))
+        both_nan = np.isnan(ref_uca) & np.isnan(got)
+        np.testing.assert_array_almost_equal(
+            np.where(both_nan, 0, ref_uca), np.where(both_nan, 0, got),
+            decimal=8, err_msg=solver.__name__)
