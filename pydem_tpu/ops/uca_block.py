@@ -295,6 +295,40 @@ def _flip2(a, flip_i, flip_j):
     return a
 
 
+def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret,
+                      tiles_o=None):
+    """One Gauss-Seidel round at orientation ``o`` (0..3, traced) over the
+    (HR, HC)-padded canvas ``xp``.  ``w_pad`` is the (HR, HC)-padded weight
+    tensor in canonical orientation; ``tiles_o`` optionally supplies the 4
+    pre-exploded orientation tile tensors.  Returns (new xp, changed count).
+
+    The pad ring of ``xp`` is treated as frozen inflow: zeros for a lone
+    canvas, or neighbor-shard halo values written there by a sharded caller
+    (parallel.sharded.accumulate_sharded).
+    """
+    np_, mp_ = xp.shape
+    n, m = np_ - 2 * HR, mp_ - 2 * HC
+    nb_i, nb_j = n // B, m // B
+
+    def mk(i):
+        def run(ops):
+            xp, b_eff = ops
+            fi, fj = _FLIPS[i]
+            xf = _flip2(xp, fi, fj)
+            bf = _flip2(b_eff, fi, fj)
+            if tiles_o is not None:
+                tiles = tiles_o[i]
+            else:
+                Wf = _flip2(w_pad, fi, fj)[jnp.array(_plane_perm(fi, fj))]
+                tiles = _explode(Wf, nb_i, nb_j, B, planes=8)
+            # slot holding canonical neighbor c is perm[c] (involution)
+            xf, chg = _gs_round(xf, tiles, bf, B=B, inner_max=inner_max,
+                                interpret=interpret, order=_plane_perm(fi, fj))
+            return _flip2(xf, fi, fj), jnp.sum(chg)
+        return run
+    return jax.lax.switch(o, [mk(i) for i in range(4)], (xp, base))
+
+
 def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
     """Shared Gauss-Seidel round driver.
 
@@ -325,20 +359,9 @@ def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
     tiles_o = [build_tiles(i) for i in range(4)] if precompute else None
 
     def one_round(o, xp, b_eff):
-        def mk(i):
-            def run(ops):
-                xp, b_eff = ops
-                fi, fj = _FLIPS[i]
-                xf = _flip2(xp, fi, fj)
-                bf = _flip2(b_eff, fi, fj)
-                tiles = tiles_o[i] if precompute else build_tiles(i)
-                # slot holding canonical neighbor c is perm[c] (involution)
-                xf, chg = _gs_round(xf, tiles, bf, B=B,
-                                    inner_max=inner_max, interpret=interpret,
-                                    order=_plane_perm(fi, fj))
-                return _flip2(xf, fi, fj), jnp.sum(chg)
-            return run
-        return jax.lax.switch(o, [mk(i) for i in range(4)], (xp, b_eff))
+        return gs_round_oriented(xp, w_pad, b_eff, o, B=B,
+                                 inner_max=inner_max, interpret=interpret,
+                                 tiles_o=tiles_o)
 
     def interior(xp):
         return xp[HR: HR + n, HC: HC + m]

@@ -52,3 +52,28 @@ def test_uneven_shard_shapes():
     both_nan = np.isnan(a) & np.isnan(b)
     np.testing.assert_array_almost_equal(
         np.where(both_nan, 0, a), np.where(both_nan, 0, b), decimal=10)
+
+
+@pytest.mark.parametrize("testnum", [33, 5])
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_blocked_solver(testnum, mesh_shape):
+    """The production multi-chip UCA path — per-shard VMEM-resident
+    Gauss-Seidel blocks + explicit 1-px ppermute halo exchange per round —
+    matches the single-device result (the SPMD analog of the reference's
+    cross-tile edge fixed point, process_manager.py:1090-1249)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    elev, _ang, _uca = fixtures.get_test_case(testnum, 32)
+
+    single = sharded.terrain_step(
+        jax.numpy.asarray(elev), jax.numpy.ones(31), jax.numpy.ones(31),
+        jax.numpy.ones(32), jax.numpy.ones(32))
+
+    mesh = sharded.make_mesh(shape=mesh_shape)
+    multi = sharded.run_sharded(elev, np.ones(31), np.ones(31),
+                                np.ones(32), np.ones(32), mesh=mesh,
+                                uca_solver="blocked")
+    for key in ("uca", "twi"):
+        np.testing.assert_array_almost_equal(
+            np.asarray(single[key]), np.asarray(multi[key]), decimal=10,
+            err_msg="%s mismatch on mesh %s" % (key, mesh_shape))
