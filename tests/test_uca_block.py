@@ -32,7 +32,7 @@ def test_blocked_matches_jacobi(testnum):
     assert int(rounds) < int(_sweeps)
 
 
-@pytest.mark.parametrize("testnum", [33, 5])
+@pytest.mark.parametrize("testnum", [33, 5, 24])  # 24: masked sea (carkoon)
 def test_blocked_gs_matches_jacobi(testnum):
     """The Gauss-Seidel fast-sweeping variant reaches the same fixed point.
 
