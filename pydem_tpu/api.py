@@ -46,10 +46,11 @@ def _section_program(direction, flats, dX, dY):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "check_every", "has_pits",
-                                   "solver"))
+                                   "solver", "block_size", "interpret"))
 def _uca_program(elev, section, proportion, flats2, dX2, dY2,
                  pit_src, pit_dst, pit_w, has_pits,
-                 max_iters, check_every, solver="jacobi"):
+                 max_iters, check_every, solver="jacobi", block_size=None,
+                 interpret=False):
     W = receiver_weights(section, proportion, elev)
     base = base_area(dX2, dY2, elev.shape, elev.dtype)
     min_area = jnp.nanmin(base)
@@ -60,7 +61,7 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
                                     accumulate_blocked_pits_gs)
 
         n, m = elev.shape
-        B = 256 if min(n, m) >= 256 else 128
+        B = block_size or (256 if min(n, m) >= 256 else 128)
         pn, pm = (-n) % B, (-m) % B
         base_p = jnp.pad(base, ((0, pn), (0, pm)))
         W_p = jnp.pad(W, ((0, 0), (0, pn), (0, pm)))
@@ -70,10 +71,11 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
             dst_i, dst_j = pit_dst // m, pit_dst % m
             ps = src_i * (m + pm) + src_j
             pd = dst_i * (m + pm) + dst_j
-            area, n_sweeps = accumulate_blocked_pits_gs(base_p, W_p, ps, pd,
-                                                        pit_w, B=B)
+            area, n_sweeps = accumulate_blocked_pits_gs(
+                base_p, W_p, ps, pd, pit_w, B=B, interpret=interpret)
         else:
-            area, n_sweeps = accumulate_blocked_gs(base_p, W_p, B=B)
+            area, n_sweeps = accumulate_blocked_gs(base_p, W_p, B=B,
+                                                   interpret=interpret)
         area = area[:n, :m]
     else:
         area, n_sweeps = accumulate(base, W, pit_src, pit_dst, pit_w,
@@ -137,8 +139,12 @@ class DEMProcessor:
     # (ops.pit_growth)
     pit_backend = "host"
     # "jacobi" = global dense sweeps (works everywhere, exact reference
-    # semantics); "blocked" = Pallas VMEM-resident block relaxation (TPU)
+    # semantics); "blocked" = Pallas VMEM-resident Gauss-Seidel block
+    # relaxation (compiled on TPU; interpret-mode elsewhere)
     uca_solver = "jacobi"
+    # block size for the blocked solver (None = auto: 256/128); small values
+    # only make sense with interpret-mode testing
+    uca_block_size = None
 
     CONFIG_KEYS = [
         "fill_flats", "fill_flats_below_sea", "fill_flats_source_tol",
@@ -150,6 +156,7 @@ class DEMProcessor:
         "uca_saturation_limit", "twi_min_slope", "maximum_pit_area",
         "circular_ref_maxcount", "uca_check_every", "uca_max_iters",
         "conditioning_backend", "pit_backend", "uca_solver",
+        "uca_block_size",
     ]
 
     def _connectivity_pits(self):
@@ -354,7 +361,8 @@ class DEMProcessor:
             jnp.asarray(self.dX2), jnp.asarray(self.dY2),
             jnp.asarray(pit_src), jnp.asarray(pit_dst), jnp.asarray(pit_w),
             has_pits, self.uca_max_iters, self.uca_check_every,
-            solver=self.uca_solver)
+            solver=self.uca_solver, block_size=self.uca_block_size,
+            interpret=jax.devices()[0].platform != "tpu")
         self.uca_sweeps = int(n_sweeps)
         self.twi_min_area = min(self.twi_min_area, float(min_area))
 

@@ -99,3 +99,24 @@ def test_deprecated_drain_mode_parity(mode, testnum):
     tb = np.isfinite(rtwi) & np.isfinite(mtwi)
     _cmp(rtwi[tb], mtwi[tb], "twi(%s)" % mode, testnum, decimal=8)
     _cmp(ref.mag, mine.mag, "mag post-%s" % mode, testnum)
+
+
+@pytest.mark.parametrize("testnum", [0, 13, 33])
+def test_blocked_solver_full_chain_parity(testnum):
+    """DEMProcessor(uca_solver='blocked') — the Pallas Gauss-Seidel path,
+    interpret-mode off-TPU — matches the reference end to end, including
+    pit links through accumulate_blocked_pits_gs."""
+    import warnings
+
+    ref, mine = _both(testnum, uca_solver="blocked", uca_block_size=8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ruca = ref.calc_uca()
+        muca = mine.calc_uca()
+        rtwi = ref.calc_twi()
+        mtwi = mine.calc_twi()
+    assert (np.isfinite(ruca) == np.isfinite(muca)).all()
+    both = np.isfinite(ruca) & np.isfinite(muca)
+    _cmp(ruca[both], muca[both], "uca(blocked)", testnum, decimal=8)
+    tb = np.isfinite(rtwi) & np.isfinite(mtwi)
+    _cmp(rtwi[tb], mtwi[tb], "twi(blocked)", testnum, decimal=8)
