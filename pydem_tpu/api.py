@@ -86,6 +86,23 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
     return area, n_sweeps, min_area, edge_todo
 
 
+@partial(jax.jit, static_argnames=("has_pits",))
+def _edge_flood_program(elev, section, proportion, edge_todo,
+                        pit_src, pit_dst, pit_w, has_pits):
+    """Flood the initial edge-todo mask downstream through the drainage
+    graph — the ``edge_todo[j] += edge_todo[i]*w`` propagation drain_area
+    performs during the fresh solve, whose boolean complement is the
+    reference's ``edge_done`` (dem_processing.py:973-975).  The fresh call
+    runs with skip_edge=0 (cyutils.pyx:89), and on the pruned DAG an edge
+    receiver is never `done` before its parents push, so the done-gated
+    edge skip (cyutils.pyx:159-161) never fires: the flood is plain
+    reachability."""
+    W = receiver_weights(section, proportion, elev)
+    if has_pits:
+        return reachability(edge_todo, W, pit_src, pit_dst, pit_w)
+    return reachability(edge_todo, W)
+
+
 def _pad_pits(pit_src, pit_dst, pit_w):
     """Pad pit-link triples to a power-of-two bucket so the jitted UCA
     program recompiles O(log P) times, not once per pit count.  Padding
@@ -240,6 +257,21 @@ class DEMProcessor:
                 raise TypeError("Unknown DEMProcessor option %r" % key)
             setattr(self, key, val)
 
+        # Two reference options are deliberate no-ops here (docs/PARITY.md):
+        # the reference's fill_flats recursion discards its own result
+        # (dem_processing.py:389-394 rebinds a dead local) and equal-elevation
+        # cycles cannot survive the pruned DAG, so circular_ref_maxcount
+        # never triggers.  Accepting a non-default value silently would
+        # invite behavior-drift surprises — warn instead.
+        import warnings as _warnings
+        for key, default in (("circular_ref_maxcount", 50),
+                             ("fill_flats_max_iter", 10)):
+            if key in kwargs and kwargs[key] != default:
+                _warnings.warn(
+                    "%s=%r has no effect in pydem_tpu (see docs/PARITY.md): "
+                    "the reference behavior it tunes is inert by design"
+                    % (key, kwargs[key]), stacklevel=2)
+
     # -- persistence (dem_processing.py:260-303) ---------------------------
 
     def get_fn(self, name=None):
@@ -371,8 +403,46 @@ class DEMProcessor:
         self.flats = np.asarray(flats2)
 
         self.edge_todo = np.asarray(edge_todo)
-        self.edge_done = ~self.edge_todo
+        # edge_done needs the todo mask flooded downstream through the whole
+        # drainage graph (an O(longest-path) sweep).  It only matters for
+        # tile-based workflows, so defer it: the property computes it on
+        # first access (see :attr:`edge_done`).
+        self._edge_done = None
+        self._edge_flood_args = (section, proportion,
+                                 (jnp.asarray(pit_src), jnp.asarray(pit_dst),
+                                  jnp.asarray(pit_w)),
+                                 has_pits, float(min_area))
         return self.uca
+
+    @property
+    def edge_done(self):
+        """Per-pixel "no further cross-tile input pending" mask
+        (dem_processing.py:973-980): the complement of the edge-todo mask
+        flooded downstream, with masked pixels always done and — under
+        ``apply_uca_limit_edges`` — saturated pixels (uca > 2·limit·min_area)
+        marked done as the large-domain early-exit.  Computed lazily on
+        first access (costs an O(longest-flow-path) on-device flood)."""
+        if self._edge_done is None and self._edge_flood_args is not None:
+            section, proportion, pits, has_pits, min_area = \
+                self._edge_flood_args
+            flood = _edge_flood_program(
+                jnp.asarray(self.elev), section, proportion,
+                jnp.asarray(self.edge_todo), *pits, has_pits)
+            done = ~np.asarray(flood)
+            # masked (no-data) pixels never await cross-tile input (:975)
+            done[np.isnan(self.elev)] = True
+            if self.apply_uca_limit_edges:
+                # "2x because of bifurcations" (dem_processing.py:977-980)
+                with np.errstate(invalid="ignore"):
+                    done[self.uca > self.uca_saturation_limit * 2
+                         * min_area] = True
+            self._edge_done = done
+        return self._edge_done
+
+    @edge_done.setter
+    def edge_done(self, value):
+        self._edge_done = value
+        self._edge_flood_args = None
 
     def _calc_uca_edge_update(self, edge_init_data, uca_init):
         """Incremental cross-tile edge update: propagate only the *delta*

@@ -120,3 +120,36 @@ def test_blocked_solver_full_chain_parity(testnum):
     _cmp(ruca[both], muca[both], "uca(blocked)", testnum, decimal=8)
     tb = np.isfinite(rtwi) & np.isfinite(mtwi)
     _cmp(rtwi[tb], mtwi[tb], "twi(blocked)", testnum, decimal=8)
+
+
+@pytest.mark.parametrize("testnum", [0, 1, 3, 20, 30])
+def test_uca_limit_edges_parity(testnum):
+    """apply_uca_limit_edges (dem_processing.py:977-980): edge pixels whose
+    UCA exceeds 2x the saturation limit are marked done — the large-domain
+    convergence early-exit.  A low saturation limit makes it fire on 16²
+    fixtures with live edges."""
+    import warnings
+
+    opts = dict(apply_uca_limit_edges=True, uca_saturation_limit=2.0)
+    ref, mine = _both(testnum, **opts)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ruca = ref.calc_uca()
+        muca = mine.calc_uca()
+    both = np.isfinite(ruca) & np.isfinite(muca)
+    _cmp(ruca[both], muca[both], "uca", testnum, decimal=8)
+    np.testing.assert_array_equal(
+        np.asarray(ref.edge_done), np.asarray(mine.edge_done),
+        err_msg="case %s: edge_done mismatch under apply_uca_limit_edges"
+        % testnum)
+    np.testing.assert_array_equal(
+        np.asarray(ref.edge_todo, bool), np.asarray(mine.edge_todo, bool),
+        err_msg="case %s: edge_todo mismatch" % testnum)
+    # sanity: the saturation threshold is actually exceeded on edge pixels
+    # (otherwise the test is vacuous)
+    edge = np.zeros(muca.shape, bool)
+    edge[[0, -1], :] = True
+    edge[:, [0, -1]] = True
+    sat = np.nan_to_num(np.asarray(muca)) > 2.0 * 2 * mine.twi_min_area
+    assert (sat & edge).any(), \
+        "case %s: saturation limit never exceeded; lower the limit" % testnum
