@@ -75,6 +75,17 @@ class ProcessManager:
     # -- grid discovery (semantics of compute_grid, :517-565) -------------
 
     def compute_grid(self):
+        """Discover the tile mosaic.
+
+        Follows the reference's discovery discipline
+        (``process_manager.py:517-565``): tile corners are snapped to a
+        lat/lon grid rounded at ``grid_round_decimals`` (so float-jittered
+        bounds land in the right grid cell), tiles sharing a grid row/column
+        must agree on nrows/ncols (the reference's consistency asserts at
+        :537-545), and — beyond the reference — pixel-pitch disagreement,
+        duplicate grid cells, and off-pixel-grid alignment raise clear
+        errors instead of silently mis-mosaicking.
+        """
         tiles = []
         for fn in self.elev_source_files:
             g = read_geotiff(fn)
@@ -82,6 +93,7 @@ class ProcessManager:
         if not tiles:
             raise RuntimeError("no input rasters found in %r" % self.in_path)
 
+        names = [os.path.basename(fn) for fn in self.elev_source_files]
         self.index = np.zeros((len(tiles), 8))
         for i, g in enumerate(tiles):
             left, bottom, right, top = g.bounds
@@ -89,18 +101,65 @@ class ProcessManager:
             self.index[i] = [left, bottom, right, top, a, e, *g.shape]
 
         # all tiles must share the pixel pitch
-        dlon = self.index[0, 4]
-        dlat = self.index[0, 5]
-        if not (np.allclose(self.index[:, 4], dlon)
-                and np.allclose(self.index[:, 5], dlat)):
-            raise ValueError("tiles disagree on pixel pitch")
+        dlon = float(np.median(self.index[:, 4]))
+        dlat = float(np.median(self.index[:, 5]))
+        bad = ~(np.isclose(self.index[:, 4], dlon)
+                & np.isclose(self.index[:, 5], dlat))
+        if bad.any():
+            raise ValueError(
+                "tiles disagree on pixel pitch (median %.10g x %.10g): %s"
+                % (dlon, dlat,
+                   ", ".join("%s (%.10g x %.10g)" % (names[i],
+                                                     self.index[i, 4],
+                                                     self.index[i, 5])
+                             for i in np.where(bad)[0])))
 
-        top0 = self.index[:, 3].max()
-        left0 = self.index[:, 0].min()
+        # snap corners into the rounded grid (process_manager.py:517-521)
+        rd = self.grid_round_decimals
+        lats = np.round(self.index[:, 3], rd)
+        lons = np.round(self.index[:, 0], rd)
+        seen = {}
+        for i in range(len(tiles)):
+            cell = (lats[i], lons[i])
+            if cell in seen:
+                raise ValueError(
+                    "tiles %s and %s snap to the same grid cell %r at "
+                    "grid_round_decimals=%d"
+                    % (names[seen[cell]], names[i], cell, rd))
+            seen[cell] = i
+
+        # per-grid-row/col shape consistency (reference asserts :537-545)
+        row_rows, col_cols = {}, {}
+        for i in range(len(tiles)):
+            nr, nc = int(self.index[i, 6]), int(self.index[i, 7])
+            prev = row_rows.setdefault(lats[i], (nr, i))
+            if prev[0] != nr:
+                raise ValueError(
+                    "grid row at lat %r: %s has %d rows but %s has %d"
+                    % (lats[i], names[prev[1]], prev[0], names[i], nr))
+            prev = col_cols.setdefault(lons[i], (nc, i))
+            if prev[0] != nc:
+                raise ValueError(
+                    "grid column at lon %r: %s has %d cols but %s has %d"
+                    % (lons[i], names[prev[1]], prev[0], names[i], nc))
+
+        # de-jittered corner per grid row/col: mean of the raw coordinates
+        # that snapped together
+        row_top = {v: self.index[lats == v, 3].mean() for v in set(lats)}
+        col_left = {v: self.index[lons == v, 0].mean() for v in set(lons)}
+
+        top0 = max(row_top.values())
+        left0 = min(col_left.values())
         offs = []
         for i in range(len(tiles)):
-            oi = int(round((self.index[i, 3] - top0) / dlat))
-            oj = int(round((self.index[i, 0] - left0) / dlon))
+            fi = (row_top[lats[i]] - top0) / dlat
+            fj = (col_left[lons[i]] - left0) / dlon
+            oi, oj = int(round(fi)), int(round(fj))
+            if abs(fi - oi) > 0.01 or abs(fj - oj) > 0.01:
+                raise ValueError(
+                    "tile %s is not aligned to the mosaic pixel grid "
+                    "(offset %.4f, %.4f px from the nearest cell)"
+                    % (names[i], fi - oi, fj - oj))
             offs.append((oi, oj))
         n = max(o[0] + int(self.index[i, 6]) for i, o in enumerate(offs))
         m = max(o[1] + int(self.index[i, 7]) for i, o in enumerate(offs))
@@ -118,8 +177,20 @@ class ProcessManager:
     def _mosaic_elev(self):
         n, m = self.grid_shape
         canvas = np.full((n, m), np.nan)
+        disagree = 0
         for g, slc in zip(self._tiles, self.grid_slice):
-            canvas[slc] = g.data
+            new = np.asarray(g.data, "float64")
+            old = canvas[slc]
+            both = np.isfinite(old) & np.isfinite(new)
+            # overlap-value disagreement check (the reference tolerates
+            # 1e-8 between concurrent writers, process_manager.py:356-357)
+            disagree += int((np.abs(old[both] - new[both]) > 1e-8).sum())
+            canvas[slc] = np.where(np.isfinite(new), new, old)
+        if disagree:
+            import warnings
+
+            warnings.warn("%d overlapping pixels disagree between tiles "
+                          "(later tiles win)" % disagree)
         return canvas
 
     def _processor(self):
