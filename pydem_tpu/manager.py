@@ -67,6 +67,7 @@ class ProcessManager:
         self.grid_shape = None
         self.grid_slice = []
         self._dp = None
+        self._sp = None
 
     @property
     def n_inputs(self):
@@ -229,6 +230,18 @@ class ProcessManager:
         self.out_file["elev"] = dp.elev
         return self.out_file["elev"]
 
+    def _sharded_pipeline(self):
+        """Lazily build the multi-chip engine over the conditioned canvas
+        (the TPU-native replacement for the reference's per-tile subprocess
+        + zarr-edge-strip machinery, process_manager.py:1090-1249)."""
+        if self._sp is None:
+            from .parallel.sharded import ShardedPipeline
+
+            dp = self._processor()
+            self._sp = ShardedPipeline(dp.elev, dp.dX, dp.dY, dp.dX2, dp.dY2,
+                                       self.mesh, uca_solver=dp.uca_solver)
+        return self._sp
+
     def process_aspect_slope(self, indices=None):
         dp = self._processor()
         # conditioning already applied by process_elevation; DEMProcessor
@@ -240,7 +253,10 @@ class ProcessManager:
             dp.mag = self.out_file["slope"]
             dp.flats = dp.mag == -1
             return dp.mag, dp.direction
-        dp.calc_slopes_directions()
+        if self.mesh is not None:
+            dp.mag, dp.direction, dp.flats = self._sharded_pipeline().pre()
+        else:
+            dp.calc_slopes_directions()
         self.out_file["aspect"] = dp.direction
         self.out_file["slope"] = dp.mag
         return dp.mag, dp.direction
@@ -250,7 +266,32 @@ class ProcessManager:
         if self._resume_hit("uca"):
             dp.uca = self.out_file["uca"]
             return dp.uca
-        dp.calc_uca()
+        if self.mesh is not None:
+            if dp.direction is None:
+                self.process_aspect_slope()
+            sp = self._sharded_pipeline()
+            if dp.drain_pits_spill and not (dp.drain_pits or dp.drain_flats):
+                # the spill mode's host connectivity needs section
+                # (dem_processing.py:1384-1508)
+                from .api import _section_program
+                import jax.numpy as jnp
+
+                section, proportion = _section_program(
+                    jnp.asarray(dp.direction), jnp.asarray(dp.flats),
+                    jnp.asarray(dp.dX), jnp.asarray(dp.dY))
+                dp.section = np.asarray(section)
+                dp.proportion = np.asarray(proportion)
+            pit_src, pit_dst, pit_w, flats2, mag2 = dp._drain_links()
+            keep = pit_w > 1e-8  # adjacency pruning, dem_processing.py:1136
+            area, rounds = sp.uca(
+                (pit_src[keep], pit_dst[keep], pit_w[keep]))
+            dp.uca = np.where(flats2, np.nan, area)
+            dp.mag = np.asarray(mag2)
+            dp.flats = np.asarray(flats2)
+            dp.uca_sweeps = rounds
+            dp.twi_min_area = min(dp.twi_min_area, sp.min_area)
+        else:
+            dp.calc_uca()
         self.out_file["uca"] = dp.uca
         self.out_file["edge_todo"] = np.zeros(dp.uca.shape, bool)
         self.out_file["edge_done"] = np.ones(dp.uca.shape, bool)

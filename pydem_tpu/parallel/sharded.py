@@ -241,6 +241,179 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
     return run(base, W)
 
 
+def accumulate_sharded_pits(base, W, mesh, pit_src, pit_dst, pit_w, B=None,
+                            inner_max=None, max_rounds=100_000,
+                            interpret=False):
+    """Multi-chip blocked Gauss-Seidel with non-adjacent pit links.
+
+    Same per-round structure as :func:`accumulate_sharded`, but the round
+    loop runs at global (GSPMD) level so the pit contributions — a global
+    scatter that can cross shard boundaries — fold into the effective base
+    between rounds, exactly like the single-device
+    ``ops.uca_block.accumulate_blocked_pits_gs``.  XLA lowers the fold's
+    gather/scatter to collectives over the mesh; fold-before-relax keeps the
+    per-block changed flags a sound convergence test.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.uca_block import HC, HR, gs_round_oriented
+
+    n, m = base.shape
+    gy, gx = mesh.devices.shape
+    assert n % gy == 0 and m % gx == 0
+    n_l, m_l = n // gy, m // gx
+    if B is None:
+        B = _shard_block_size(n_l, m_l)
+    if B is None:
+        raise ValueError("shard %dx%d too small for the blocked solver"
+                         % (n_l, m_l))
+    if inner_max is None:
+        inner_max = 2 * B + 4
+
+    perm_dn = [(i, i + 1) for i in range(gy - 1)]
+    perm_up = [(i + 1, i) for i in range(gy - 1)]
+    perm_rt = [(i, i + 1) for i in range(gx - 1)]
+    perm_lt = [(i + 1, i) for i in range(gx - 1)]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("y", "x"), P(None, "y", "x"), P("y", "x"), P()),
+             out_specs=(P("y", "x"), P()), check_rep=False)
+    def one_round(x_l, W_l, b_l, o):
+        def exchange(xp):
+            x = xp[..., HR: HR + n_l, HC: HC + m_l]
+            top_ring = jax.lax.ppermute(x[..., -1, :], "y", perm_dn)
+            bot_ring = jax.lax.ppermute(x[..., 0, :], "y", perm_up)
+            xp = xp.at[..., HR - 1, HC: HC + m_l].set(top_ring)
+            xp = xp.at[..., HR + n_l, HC: HC + m_l].set(bot_ring)
+            ext = xp[..., HR - 1: HR + n_l + 1, :]
+            left_ring = jax.lax.ppermute(ext[..., :, HC + m_l - 1], "x",
+                                         perm_rt)
+            right_ring = jax.lax.ppermute(ext[..., :, HC], "x", perm_lt)
+            xp = xp.at[..., HR - 1: HR + n_l + 1, HC - 1].set(left_ring)
+            xp = xp.at[..., HR - 1: HR + n_l + 1, HC + m_l].set(right_ring)
+            return xp
+
+        w_pad = exchange(jnp.pad(W_l, ((0, 0), (HR, HR), (HC, HC))))
+        xp = exchange(jnp.pad(x_l, ((HR, HR), (HC, HC))))
+        xp, chg = gs_round_oriented(xp, w_pad, b_l, o, B=B,
+                                    inner_max=inner_max, interpret=interpret)
+        return (xp[HR: HR + n_l, HC: HC + m_l],
+                jax.lax.psum(chg, ("y", "x")))
+
+    def fold(x):
+        contrib = x.ravel()[pit_src] * pit_w
+        return base.ravel().at[pit_dst].add(contrib).reshape(base.shape)
+
+    @jax.jit
+    def drive(base):
+        x, chg = one_round(base, W, fold(base), jnp.int32(0))
+
+        def cond(state):
+            _x, changed, rounds = state
+            return jnp.logical_and(changed > 0, rounds < max_rounds)
+
+        def body(state):
+            x, _c, rounds = state
+            x, chg = one_round(x, W, fold(x), rounds % 4)
+            return x, chg, rounds + 1
+
+        x, _, rounds = jax.lax.while_loop(cond, body, (x, chg, jnp.int32(1)))
+        return x, rounds
+
+    return drive(base)
+
+
+def sharded_uca(base, W, mesh, pit_links=None, uca_solver="blocked", B=None,
+                interpret=None):
+    """Solve the UCA fixed point over the mesh from unpadded base/weights.
+
+    The stencil stages run unpadded (GSPMD handles uneven shards under plain
+    jit); the shard_map blocked solver needs shard-divisible, block-aligned
+    shapes, so base/W are zero-padded here — exact, since pad pixels carry
+    no base area and no weights — and the result is sliced back.
+
+    ``pit_links``: optional ``(src, dst, w)`` flat-index triples in the
+    unpadded canvas (the non-adjacent drains of dem_processing.py:1269-1382).
+    """
+    n, m = base.shape
+    gy, gx = mesh.devices.shape
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+
+    if uca_solver == "jacobi":
+        if pit_links is not None:
+            src, dst, w = (jnp.asarray(v) for v in pit_links)
+            return accumulate(base, W, src, dst, w)
+        return accumulate(base, W)
+
+    if B is None:
+        B = 8 if interpret else (256 if min(n // gy, m // gx) >= 256 else 128)
+    pn = (-n) % (B * gy)
+    pm = (-m) % (B * gx)
+    base_p = jax.device_put(jnp.pad(base, ((0, pn), (0, pm))),
+                            canvas_sharding(mesh))
+    W_p = jax.device_put(jnp.pad(W, ((0, 0), (0, pn), (0, pm))),
+                         NamedSharding(mesh, P(None, "y", "x")))
+    if pit_links is not None and len(pit_links[0]):
+        src, dst, w = (np.asarray(v) for v in pit_links)
+        # remap flat indices into the padded canvas
+        src = (src // m) * (m + pm) + src % m
+        dst = (dst // m) * (m + pm) + dst % m
+        area, rounds = accumulate_sharded_pits(
+            base_p, W_p, mesh, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(w), B=B, interpret=interpret)
+    else:
+        area, rounds = accumulate_sharded(base_p, W_p, mesh, B=B,
+                                          interpret=interpret)
+    if pn or pm:
+        area = area[:n, :m]
+    return area, rounds
+
+
+class ShardedPipeline:
+    """Manager-facing SPMD pipeline over a conditioned canvas.
+
+    Splits the device pipeline at the host pit-connectivity boundary the way
+    ``DEMProcessor.calc_uca`` does: ``pre()`` runs the stencil stages
+    (slope/direction/flats/weights/base) sharded over the mesh and hands the
+    host the arrays it needs to compute pit links; ``uca(pit_links)`` then
+    solves the accumulation fixed point on-device.  This is the multi-chip
+    engine behind ``ProcessManager(mesh=...)`` — the TPU-native replacement
+    for the reference's cross-tile subprocess rounds
+    (process_manager.py:1090-1249).
+    """
+
+    def __init__(self, elev, dX, dY, dX2, dY2, mesh, uca_solver="blocked"):
+        self.mesh = mesh
+        self.uca_solver = uca_solver
+        dt = jnp.asarray(elev[:1, :1]).dtype  # x64-respecting dtype probe
+        self.elev = jax.device_put(jnp.asarray(elev, dt),
+                                   canvas_sharding(mesh))
+        rep = replicated(mesh)
+        self.args = [jax.device_put(jnp.asarray(v, dt), rep)
+                     for v in (dX, dY, dX2, dY2)]
+        self._W = None
+        self._base = None
+
+    def pre(self):
+        """Slope/direction/flats over the mesh; returns host arrays."""
+        mag, direction, flats, W, base = terrain_pre(self.elev, *self.args)
+        self._W, self._base = W, base
+        self.min_area = float(jnp.nanmin(base))
+        return np.asarray(mag), np.asarray(direction), np.asarray(flats)
+
+    def uca(self, pit_links=None):
+        """Accumulation fixed point; returns (host area, rounds)."""
+        if self._W is None:
+            self.pre()
+        if pit_links is not None and len(pit_links[0]) == 0:
+            pit_links = None
+        area, rounds = sharded_uca(self._base, self._W, self.mesh,
+                                   pit_links=pit_links,
+                                   uca_solver=self.uca_solver)
+        return np.asarray(area), int(rounds)
+
+
 def run_sharded(elev, dX, dY, dX2=None, dY2=None, mesh=None, n_sweeps=None,
                 uca_solver="jacobi"):
     """Place the canvas on the mesh and run the pipeline SPMD.

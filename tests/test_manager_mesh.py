@@ -1,0 +1,88 @@
+"""ProcessManager(mesh=...) — the multi-chip production pipeline.
+
+Equivalence contract (the reference's own discipline, test_end_to_end.py:
+26-149, lifted to SPMD): a mesh-sharded `process_twi` must produce the same
+fields as the single-device pipeline on the same tile directory, including
+conditioning and pit connectivity, for both UCA solvers.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from pydem_tpu import DEMProcessor, fixtures, manager
+from pydem_tpu.parallel import sharded
+
+TEST_NUM = 33
+NN = 32
+
+
+def _mesh(shape=(2, 4)):
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("needs %d devices" % (shape[0] * shape[1]))
+    return sharded.make_mesh(jax.devices()[: shape[0] * shape[1]], shape)
+
+
+def _run(tmp_path, sub, mesh=None, testnum=TEST_NUM, **dem_kwargs):
+    chunks = fixtures.mk_test_multifile(testnum, NN, str(tmp_path / sub),
+                                        nx_grid=2, ny_grid=2,
+                                        nx_overlap=2, ny_overlap=2)
+    pm = manager.ProcessManager(in_path=chunks, mesh=mesh,
+                                dem_proc_kwargs=dem_kwargs)
+    twi = pm.process_twi()
+    return pm, twi
+
+
+@pytest.mark.parametrize("solver", ["jacobi", "blocked"])
+def test_manager_mesh_matches_single_device(tmp_path, solver):
+    manager.DEBUG = True
+    try:
+        pm0, twi0 = _run(tmp_path, "single")
+        pm1, twi1 = _run(tmp_path, "mesh", mesh=_mesh(), uca_solver=solver)
+    finally:
+        manager.DEBUG = False
+    for key in ("elev", "slope", "aspect", "uca", "twi"):
+        a, b = pm0.out_file[key], pm1.out_file[key]
+        assert (np.isnan(a) == np.isnan(b)).all(), key
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   atol=1e-10, err_msg=key)
+
+
+@pytest.mark.parametrize("solver", ["jacobi", "blocked"])
+def test_manager_mesh_pit_terrain(tmp_path, solver):
+    """Pit-rich fixture (spiral #30 has pit links) exercises the cross-shard
+    pit fold in accumulate_sharded_pits."""
+    manager.DEBUG = True
+    try:
+        pm0, _ = _run(tmp_path, "single", testnum=30)
+        pm1, _ = _run(tmp_path, "mesh", mesh=_mesh(), testnum=30,
+                      uca_solver=solver)
+    finally:
+        manager.DEBUG = False
+    a, b = pm0.out_file["uca"], pm1.out_file["uca"]
+    assert (np.isnan(a) == np.isnan(b)).all()
+    np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b), atol=1e-10)
+
+
+def test_sharded_uca_pits_vs_single():
+    """accumulate_sharded_pits == single-device jacobi on a pit fixture,
+    directly at the solver level (odd canvas exercises the zero-pad path)."""
+    elev, _a, _u = fixtures.get_test_case(13, 24)
+    dp = DEMProcessor(elev=elev)
+    dp.calc_uca()
+    mesh = _mesh()
+    sp = sharded.ShardedPipeline(dp.elev, dp.dX, dp.dY, dp.dX2, dp.dY2,
+                                 mesh, uca_solver="blocked")
+    mag, direction, flats = sp.pre()
+    np.testing.assert_allclose(direction, dp.direction, atol=1e-12)
+    dp2 = DEMProcessor(elev=dp.elev.copy(), fill_flats=False,
+                       drain_pits_path=False)
+    dp2.mag, dp2.direction, dp2.flats = mag, direction, flats
+    pit_src, pit_dst, pit_w, flats2, mag2 = dp2._drain_links()
+    keep = pit_w > 1e-8
+    area, rounds = sp.uca((pit_src[keep], pit_dst[keep], pit_w[keep]))
+    uca = np.where(flats2, np.nan, area)
+    assert (np.isnan(uca) == np.isnan(dp.uca)).all()
+    np.testing.assert_allclose(np.nan_to_num(uca), np.nan_to_num(dp.uca),
+                               atol=1e-10)
+    assert rounds >= 1
