@@ -59,9 +59,11 @@ class ArrayStore:
             "chunks": chunks,
             "dtype": _DTYPE_MAP[dtype.name],
             "compressor": ({"id": "zlib", "level": 4} if compress else None),
+            # zarr-v2 serializes a NaN fill as the string "NaN" (§fill
+            # value encoding); null would mean "undefined"
             "fill_value": (bool(fill) if dtype.kind == "b" else
-                           (None if (isinstance(fill, float) and np.isnan(fill))
-                            else fill)),
+                           ("NaN" if (isinstance(fill, float)
+                                      and np.isnan(fill)) else fill)),
             "filters": None,
             "order": "C",
         }
@@ -73,20 +75,109 @@ class ArrayStore:
             return json.load(f)
 
     def write(self, name, data, offset=(0, 0)):
-        """Write a 2-D block at ``offset`` (must align with chunk grid or be
-        a full-array write)."""
+        """Write a 2-D block at ``offset``.  Chunk-granular: only chunks
+        intersecting the window are touched (read-modify-written at the
+        partially-covered border), so writes are O(window), not O(array) —
+        the property the out-of-core pipeline relies on."""
         meta = self._meta(name)
-        shape, chunks = meta["shape"], meta["chunks"]
+        shape = meta["shape"]
+        data = np.asarray(data)
+        if tuple(offset) == (0, 0) and list(data.shape) == shape:
+            self._write_full(name, data, meta)
+            return
+        self.write_window(name, data, offset)
+
+    def _fill_of(self, meta):
+        dtype = np.dtype(meta["dtype"])
+        fill = meta.get("fill_value")
+        if fill in ("NaN", "Infinity", "-Infinity"):
+            fill = float(fill.replace("Infinity", "inf"))
+        if fill is None:
+            fill = np.nan if dtype.kind == "f" else 0
+        return fill
+
+    def _chunk_fn(self, name, ci, cj):
+        return os.path.join(self._adir(name), "%d.%d" % (ci, cj))
+
+    def _read_chunk(self, name, meta, ci, cj):
+        """One chunk as an array (fill-valued if the chunk file is absent)."""
+        dtype = np.dtype(meta["dtype"])
+        fn = self._chunk_fn(name, ci, cj)
+        if not os.path.exists(fn):
+            return np.full(meta["chunks"], self._fill_of(meta),
+                           dtype.newbyteorder("="))
+        with open(fn, "rb") as f:
+            raw = f.read()
+        if meta["compressor"]:
+            raw = zlib.decompress(raw)
+        return (np.frombuffer(raw, dtype).reshape(meta["chunks"])
+                .astype(dtype.newbyteorder("=")))
+
+    def _write_chunk(self, name, meta, ci, cj, block):
+        dtype = np.dtype(meta["dtype"])
+        raw = np.ascontiguousarray(block, dtype).tobytes()
+        if meta["compressor"]:
+            raw = zlib.compress(raw, meta["compressor"].get("level", 4))
+        with open(self._chunk_fn(name, ci, cj), "wb") as f:
+            f.write(raw)
+
+    def read_window(self, name, rows, cols):
+        """Read the window ``[rows[0]:rows[1], cols[0]:cols[1]]`` touching
+        only intersecting chunks.  Out-of-bounds regions come back as the
+        fill value (NaN for floats), so halo windows at the canvas border
+        need no special-casing by the caller."""
+        meta = self._meta(name)
+        (n, m), (ch0, ch1) = meta["shape"], meta["chunks"]
+        dtype = np.dtype(meta["dtype"]).newbyteorder("=")
+        r0, r1 = rows
+        c0, c1 = cols
+        out = np.full((r1 - r0, c1 - c0), self._fill_of(meta), dtype)
+        ir0, ir1 = max(r0, 0), min(r1, n)
+        ic0, ic1 = max(c0, 0), min(c1, m)
+        if ir0 >= ir1 or ic0 >= ic1:
+            return out
+        for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1):
+            for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1):
+                blk = self._read_chunk(name, meta, ci, cj)
+                # intersection of this chunk with the in-bounds window
+                gr0 = max(ir0, ci * ch0)
+                gr1 = min(ir1, (ci + 1) * ch0, n)
+                gc0 = max(ic0, cj * ch1)
+                gc1 = min(ic1, (cj + 1) * ch1, m)
+                out[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0] = \
+                    blk[gr0 - ci * ch0: gr1 - ci * ch0,
+                        gc0 - cj * ch1: gc1 - cj * ch1]
+        return out
+
+    def write_window(self, name, data, offset):
+        """Write ``data`` at ``offset`` (clipped to the array bounds),
+        chunk-granular with read-modify-write at partially-covered chunks."""
+        meta = self._meta(name)
+        (n, m), (ch0, ch1) = meta["shape"], meta["chunks"]
         dtype = np.dtype(meta["dtype"])
         data = np.asarray(data)
-        full = np.full(shape, np.nan if dtype.kind == "f" else 0, dtype)
-        if tuple(offset) == (0, 0) and list(data.shape) == shape:
-            full = data.astype(dtype)
-        else:
-            full = self.read(name)
-            full[offset[0]: offset[0] + data.shape[0],
-                 offset[1]: offset[1] + data.shape[1]] = data
-        self._write_full(name, full, meta)
+        r0, c0 = offset
+        r1, c1 = r0 + data.shape[0], c0 + data.shape[1]
+        ir0, ir1 = max(r0, 0), min(r1, n)
+        ic0, ic1 = max(c0, 0), min(c1, m)
+        if ir0 >= ir1 or ic0 >= ic1:
+            return
+        for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1):
+            for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1):
+                gr0 = max(ir0, ci * ch0)
+                gr1 = min(ir1, (ci + 1) * ch0, n)
+                gc0 = max(ic0, cj * ch1)
+                gc1 = min(ic1, (cj + 1) * ch1, m)
+                full_cover = (gr0 == ci * ch0 and gc0 == cj * ch1
+                              and gr1 - gr0 == ch0 and gc1 - gc0 == ch1)
+                if full_cover:
+                    blk = data[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0]
+                else:
+                    blk = self._read_chunk(name, meta, ci, cj)
+                    blk[gr0 - ci * ch0: gr1 - ci * ch0,
+                        gc0 - cj * ch1: gc1 - cj * ch1] = \
+                        data[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0]
+                self._write_chunk(name, meta, ci, cj, blk.astype(dtype))
 
     def _write_full(self, name, data, meta):
         d = self._adir(name)
@@ -111,10 +202,7 @@ class ArrayStore:
         meta = self._meta(name)
         shape, chunks = meta["shape"], meta["chunks"]
         dtype = np.dtype(meta["dtype"])
-        fill = meta.get("fill_value")
-        if fill is None and dtype.kind == "f":
-            fill = np.nan
-        out = np.full(shape, fill if fill is not None else 0, dtype)
+        out = np.full(shape, self._fill_of(meta), dtype)
         d = self._adir(name)
         nci = (shape[0] + chunks[0] - 1) // chunks[0]
         ncj = (shape[1] + chunks[1] - 1) // chunks[1] if len(shape) > 1 else 1
