@@ -37,14 +37,23 @@ def section_theta(dX, dY, n):
     return t[jnp.clip(i - 1, 0, n - 3)][:, None]
 
 
-def section_proportion(direction, flats, dX, dY):
+def section_proportion(direction, flats, dX=None, dY=None, theta=None):
     """Facet index (0-7) and straight-neighbor proportion per pixel.
 
     Functional port of ``_calc_uca_section_proportion``
     (dem_processing.py:1021-1070); flats get section -1 / proportion NaN.
+
+    ``theta`` optionally supplies the per-row facet angle directly (length-n
+    vector) — used by windowed callers, whose rows need the *global* row
+    angles rather than the window-local fence clipping of
+    :func:`section_theta`.
     """
     n, m = direction.shape
-    theta = jnp.broadcast_to(section_theta(dX, dY, n), (n, m))
+    if theta is None:
+        theta = section_theta(dX, dY, n)
+    else:
+        theta = jnp.asarray(theta, direction.dtype).reshape(n, 1)
+    theta = jnp.broadcast_to(theta, (n, m))
     pi = np.pi
 
     quad_idx = jnp.floor(direction / pi * 2.0).astype(jnp.int32)

@@ -42,8 +42,9 @@ class GeoTiff:
     """Parsed single-band GeoTIFF."""
 
     def __init__(self, data, transform, crs_code=4326, nodata=None,
-                 projected=False, ellipsoid="WGS-84"):
+                 projected=False, ellipsoid="WGS-84", shape=None):
         self.data = data
+        self._shape = shape if data is None else data.shape
         # GDAL-style affine 6-tuple (a, b, c, d, e, f):
         # x = a*col + b*row + c ; y = d*col + e*row + f
         self.transform = transform
@@ -54,19 +55,19 @@ class GeoTiff:
 
     @property
     def shape(self):
-        return self.data.shape
+        return self._shape
 
     @property
     def bounds(self):
         """(left, bottom, right, top)."""
         a, b, c, d, e, f = self.transform
-        n, m = self.data.shape
+        n, m = self.shape
         xs = [c, a * m + c]
         ys = [f, e * n + f]
         return (min(xs), min(ys), max(xs), max(ys))
 
     def pixel_scales(self):
-        return pixel_scales(self.transform, self.data.shape[0],
+        return pixel_scales(self.transform, self.shape[0],
                             projected=self.projected, ellipsoid=self.ellipsoid)
 
 
@@ -144,8 +145,12 @@ def _undo_predictor(arr, predictor, dtype):
     return arr
 
 
-def read_geotiff(fn):
-    """Read band 1 of a GeoTIFF into a :class:`GeoTiff`."""
+def read_geotiff(fn, header_only=False):
+    """Read band 1 of a GeoTIFF into a :class:`GeoTiff`.
+
+    ``header_only=True`` parses tags only (shape/transform/CRS/nodata) and
+    leaves ``data`` as None — O(header) work, used by the bounded-memory
+    tile-grid discovery."""
     with open(fn, "rb") as f:
         d = f.read()
     if d[:2] == b"II":
@@ -211,8 +216,11 @@ def read_geotiff(fn):
             return _packbits_decode(chunk)
         raise ValueError("Unsupported TIFF compression %d" % comp)
 
-    out = np.zeros((height, width), dtype)
-    if T_TILE_OFF in tags:
+    out = None
+    if header_only:
+        pass
+    elif T_TILE_OFF in tags:
+        out = np.zeros((height, width), dtype)
         tw, th = tag1(T_TILE_W), tag1(T_TILE_H)
         offs, cnts = tags[T_TILE_OFF], tags[T_TILE_CNT]
         tiles_across = (width + tw - 1) // tw
@@ -223,6 +231,7 @@ def read_geotiff(fn):
             i0, j0 = ti * th, tj * tw
             out[i0: i0 + th, j0: j0 + tw] = block[: height - i0, : width - j0]
     else:
+        out = np.zeros((height, width), dtype)
         rps = tag1(T_ROWS_PER_STRIP, height)
         offs, cnts = tags[T_STRIP_OFF], tags[T_STRIP_CNT]
         row = 0
@@ -234,7 +243,8 @@ def read_geotiff(fn):
             out[row: row + nrow] = block
             row += nrow
 
-    out = out.astype(out.dtype.newbyteorder("="))
+    if out is not None:
+        out = out.astype(out.dtype.newbyteorder("="))
 
     # geo transform
     transform = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
@@ -267,7 +277,7 @@ def read_geotiff(fn):
             pass
 
     return GeoTiff(out, transform, crs_code=crs_code, nodata=nodata,
-                   projected=projected)
+                   projected=projected, shape=(height, width))
 
 
 def write_geotiff(fn, data, transform, crs_code=4326, nodata=None,

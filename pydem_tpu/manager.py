@@ -45,7 +45,7 @@ class ProcessManager:
 
     def __init__(self, in_path=".", n_workers=1, out_path=None,
                  dem_proc_kwargs=None, grid_round_decimals=2, _debug=False,
-                 mesh=None, resume=False):
+                 mesh=None, resume=False, out_of_core=False, superblock=4096):
         self.in_path = in_path
         self.n_workers = n_workers  # accepted for API parity; device-parallel
         self.out_path = out_path or os.path.join(in_path, "results.zarr")
@@ -55,8 +55,15 @@ class ProcessManager:
         self.mesh = mesh
         # crash-resume: stages whose output arrays already exist in the
         # store are skipped (the reference's per-tile success-skip,
-        # process_manager.py:1274-1275, at stage granularity)
+        # process_manager.py:1274-1275, at stage granularity); the
+        # out-of-core engine resumes per super-block / per UCA round
         self.resume = resume
+        # bounded-memory mode: stream S x S super-blocks through the store
+        # instead of holding one canvas (see pydem_tpu.outofcore); the
+        # replacement for the reference's per-tile subprocess streaming
+        # (process_manager.py:1251-1318)
+        self.out_of_core = out_of_core
+        self.superblock = superblock
 
         self.elev_source_files = sorted(
             os.path.join(in_path, fn) for fn in os.listdir(in_path)
@@ -89,7 +96,9 @@ class ProcessManager:
         """
         tiles = []
         for fn in self.elev_source_files:
-            g = read_geotiff(fn)
+            # header-only: discovery is O(metadata), not O(pixels) — pixels
+            # are streamed at mosaic/ingest time
+            g = read_geotiff(fn, header_only=True)
             tiles.append(g)
         if not tiles:
             raise RuntimeError("no input rasters found in %r" % self.in_path)
@@ -170,7 +179,7 @@ class ProcessManager:
              slice(o[1], o[1] + int(self.index[i, 7])))
             for i, o in enumerate(offs)]
         self.transform = (dlon, 0.0, left0, 0.0, dlat, top0)
-        self._tiles = tiles
+        self._projected = getattr(tiles[0], "projected", False)
         return self.grid_shape
 
     # -- mosaic + pipeline --------------------------------------------------
@@ -179,8 +188,8 @@ class ProcessManager:
         n, m = self.grid_shape
         canvas = np.full((n, m), np.nan)
         disagree = 0
-        for g, slc in zip(self._tiles, self.grid_slice):
-            new = np.asarray(g.data, "float64")
+        for fn, slc in zip(self.elev_source_files, self.grid_slice):
+            new = np.asarray(read_geotiff(fn).data, "float64")
             old = canvas[slc]
             both = np.isfinite(old) & np.isfinite(new)
             # overlap-value disagreement check (the reference tolerates
@@ -194,19 +203,17 @@ class ProcessManager:
                           "(later tiles win)" % disagree)
         return canvas
 
+    def _pixel_vectors(self):
+        n = self.grid_shape[0]
+        if DEBUG or self._debug:
+            return (np.ones(n - 1), np.ones(n - 1), np.ones(n), np.ones(n))
+        return pixel_scales(self.transform, n, projected=self._projected)
+
     def _processor(self):
         if self._dp is not None:
             return self._dp
         elev = self._mosaic_elev()
-        n = elev.shape[0]
-        if DEBUG or self._debug:
-            dX = np.ones(n - 1)
-            dY = np.ones(n - 1)
-            dX2 = np.ones(n)
-            dY2 = np.ones(n)
-        else:
-            proj = getattr(self._tiles[0], "projected", False)
-            dX, dY, dX2, dY2 = pixel_scales(self.transform, n, projected=proj)
+        dX, dY, dX2, dY2 = self._pixel_vectors()
         self._dp = DEMProcessor(elev=elev, dX=dX, dY=dY, dX2=dX2, dY2=dY2,
                                 **self.dem_proc_kwargs)
         return self._dp
@@ -311,7 +318,44 @@ class ProcessManager:
         self.out_file["uca_edge_metrics"] = np.ones((self.n_inputs, 2))
         return 0  # rounds needed
 
+    # -- bounded-memory (out-of-core) pipeline -------------------------------
+
+    def _ingest_out_of_core(self, S):
+        """Stream tiles into the store canvas one at a time (the mosaic
+        never materializes; NaN pixels of later tiles don't clobber data
+        from earlier overlapping tiles)."""
+        if self.resume and "elev_src" in self.out_file:
+            return
+        self.out_file.create("elev_src", self.grid_shape, "float64",
+                             chunks=(S, S), fill=np.nan, overwrite=True)
+        for fn, slc in zip(self.elev_source_files, self.grid_slice):
+            new = np.asarray(read_geotiff(fn).data, "float64")
+            cur = self.out_file.read_window(
+                "elev_src", (slc[0].start, slc[0].stop),
+                (slc[1].start, slc[1].stop))
+            self.out_file.write_window(
+                "elev_src", np.where(np.isfinite(new), new, cur),
+                (slc[0].start, slc[1].start))
+
+    def _process_twi_out_of_core(self):
+        from .outofcore import OutOfCoreEngine
+
+        if self.grid_shape is None:
+            self.compute_grid()
+        dX, dY, dX2, dY2 = self._pixel_vectors()
+        eng = OutOfCoreEngine(self.out_file, self.grid_shape, dX, dY, dX2,
+                              dY2, dem_proc_kwargs=self.dem_proc_kwargs,
+                              superblock=self.superblock, resume=self.resume)
+        self._ooc = eng
+        self._ingest_out_of_core(eng.S)
+        eng.run()
+        self.out_file["success"] = np.ones((self.n_inputs,), bool) \
+            .reshape(-1, 1)
+        return self.out_file
+
     def process_twi(self):
+        if self.out_of_core:
+            return self._process_twi_out_of_core()
         if self.grid_shape is None:
             self.compute_grid()
         self.process_elevation()

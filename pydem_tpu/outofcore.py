@@ -1,0 +1,423 @@
+"""Bounded-memory (out-of-core) terrain pipeline over a store-resident canvas.
+
+The reference processes an unbounded directory of tiles with bounded memory
+by running one subprocess per tile and pushing every intermediate through a
+zarr store (``/root/reference/pydem/process_manager.py:1251-1318``, workers
+``:54-353``), iterating cross-tile UCA edge corrections until a fixed point
+(``:1090-1249``).  This module is the same capability rebuilt around the TPU
+blocked Gauss-Seidel machinery, one level up the memory hierarchy:
+
+====================  =========================  =========================
+level                 reference                  pydem_tpu
+====================  =========================  =========================
+unit of residence     tile file / subprocess     S×S super-block in HBM
+fast memory           worker RAM                 VMEM (B×B Pallas blocks)
+slow memory           zarr directory             ArrayStore (zarr-v2 layout)
+halo transport        zarr edge strips           1-px store window ring
+convergence           done/todo masks per tile   per-block changed flags
+====================  =========================  =========================
+
+Peak memory is O(S²) on host and device regardless of domain size: every
+stage streams super-block windows through :class:`pydem_tpu.io.store
+.ArrayStore`'s chunk-granular IO.  Within a super-block visit the solver is
+the production Pallas kernel (``ops.uca_block.gs_round_oriented``) iterated
+to local convergence against a frozen 1-px ring read from the store, and the
+outer loop sweeps super-blocks in corner-cycling (fast-sweeping) order until
+no block changes — the same chaotic-relaxation argument as the in-HBM and
+multi-chip solvers, so the fixed point equals the single-canvas result.
+
+Per-super-block conditioning/pit-connectivity uses a ``margin``-px context
+window; like the reference's per-tile conditioning, features larger than the
+margin that straddle block seams may condition differently than a global
+pass (the margin here — default 64 px — exceeds the reference's per-tile
+context of 0).
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .api import DEMProcessor, _slope_program
+from .core import conditioning as cond
+from .core.receivers import receiver_weights, section_proportion
+from .core.twi import twi as twi_fn
+from .ops.uca_block import HC, HR, gs_round_oriented
+
+# block-visit corner orders per outer round (matches ops.uca_block._FLIPS)
+_SWEEP_FLIPS = ((False, False), (True, True), (False, True), (True, False))
+
+
+@partial(jax.jit, static_argnames=("B", "inner_max", "max_rounds",
+                                   "interpret"))
+def _sb_uca_solve(x_win, elev_win, dir_win, flats_win, theta_win, base_eff,
+                  o0, B, inner_max, max_rounds, interpret):
+    """Relax one (S+2)²-windowed super-block to convergence in HBM.
+
+    ``x_win`` carries the current area state with its frozen 1-px ring
+    (NaN-filled beyond the canvas — sanitized here since ring NaNs would
+    poison the 0-weight products); weights are recomputed from the stored
+    direction/flats/elev windows, which reproduces the global
+    ``receiver_weights`` exactly (off-window shifts fill with NaN, the same
+    pruning the global canvas edge sees).  Returns the relaxed S×S interior,
+    whether it changed, and the device round count.
+    """
+    S = x_win.shape[0] - 2
+    x_win = jnp.nan_to_num(x_win)
+    section, proportion = section_proportion(dir_win, flats_win,
+                                             theta=theta_win)
+    W = receiver_weights(section, proportion, elev_win)
+
+    dt = x_win.dtype
+    xp = jnp.zeros((S + 2 * HR, S + 2 * HC), dt)
+    xp = xp.at[HR - 1: HR + S + 1, HC - 1: HC + S + 1].set(x_win)
+    wp = jnp.zeros((8, S + 2 * HR, S + 2 * HC), dt)
+    wp = wp.at[:, HR - 1: HR + S + 1, HC - 1: HC + S + 1].set(
+        W.astype(dt))
+
+    x0 = x_win[1:-1, 1:-1]
+    xp, chg = gs_round_oriented(xp, wp, base_eff, o0 % 4, B=B,
+                                inner_max=inner_max, interpret=interpret)
+
+    def cond_fn(state):
+        _xp, changed, r = state
+        return jnp.logical_and(changed > 0, r < max_rounds)
+
+    def body(state):
+        xp, _c, r = state
+        xp, chg = gs_round_oriented(xp, wp, base_eff, (o0 + r) % 4, B=B,
+                                    inner_max=inner_max, interpret=interpret)
+        return xp, chg, r + 1
+
+    xp, _, rounds = jax.lax.while_loop(cond_fn, body, (xp, chg, jnp.int32(1)))
+    out = xp[HR: HR + S, HC: HC + S]
+    return out, jnp.any(out != x0), rounds
+
+
+class OutOfCoreEngine:
+    """Stream the full pipeline through the store in S×S super-blocks."""
+
+    def __init__(self, store, shape, dX, dY, dX2, dY2, dem_proc_kwargs=None,
+                 superblock=512, margin=None, resume=False, interpret=None,
+                 timer=None):
+        self.store = store
+        self.shape = tuple(shape)
+        self.dX = np.asarray(dX, "float64")
+        self.dY = np.asarray(dY, "float64")
+        self.dX2 = np.asarray(dX2, "float64")
+        self.dY2 = np.asarray(dY2, "float64")
+        # flag carrier: reuse DEMProcessor's validated config surface
+        self.dp = DEMProcessor(elev=np.zeros((2, 2)),
+                               **(dem_proc_kwargs or {}))
+        if self.dp.drain_flats or self.dp.drain_pits_spill:
+            raise NotImplementedError(
+                "deprecated drain modes are not supported out-of-core")
+        self.S = int(superblock)
+        self.margin = int(margin if margin is not None
+                          else max(64, 2 * self.dp.drain_pits_max_dist))
+        self.resume = resume
+        n, m = self.shape
+        self.nbi = -(-n // self.S)
+        self.nbj = -(-m // self.S)
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self.interpret = interpret
+        # Pallas block size within a super-block window
+        self.B = 8 if interpret else (256 if self.S >= 256 else 128)
+        if self.S % self.B:
+            raise ValueError("superblock (%d) must be a multiple of the "
+                             "kernel block size (%d)" % (self.S, self.B))
+        t = np.arctan2(self.dY[: n - 2], self.dX[: n - 2])
+        self.theta = t[np.clip(np.arange(n) - 1, 0, n - 3)]
+        self.min_area = float(np.nanmin(self.dX2 * self.dY2))
+        self.timer = timer
+        self._links = None
+
+    # -- helpers -------------------------------------------------------------
+
+    def _blocks(self, flip=(False, False)):
+        bi = range(self.nbi - 1, -1, -1) if flip[0] else range(self.nbi)
+        bj_fwd = list(range(self.nbj))
+        bj_rev = bj_fwd[::-1]
+        for i in bi:
+            for j in (bj_rev if flip[1] else bj_fwd):
+                yield i, j
+
+    def _interior(self, bi, bj):
+        n, m = self.shape
+        i0, j0 = bi * self.S, bj * self.S
+        return (i0, min(i0 + self.S, n)), (j0, min(j0 + self.S, m))
+
+    def _create(self, name, dtype="float64", fill=np.nan):
+        self.store.create(name, self.shape, dtype, chunks=(self.S, self.S),
+                          fill=fill)
+
+    def _flags(self, stage):
+        key = "_oocore_%s" % stage
+        fn = os.path.join(self.store.root, key + ".json")
+        if self.resume and os.path.exists(fn):
+            with open(fn) as f:
+                return set(map(tuple, json.load(f)))
+        return set()
+
+    def _mark(self, stage, done):
+        fn = os.path.join(self.store.root, "_oocore_%s.json" % stage)
+        with open(fn, "w") as f:
+            json.dump(sorted(done), f)
+
+    def _stage(self, name):
+        if self.timer is not None:
+            return self.timer.stage(name)
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    # -- stage 1: conditioning (per-window host, reference semantics) --------
+
+    def condition(self, src="elev_src", dst="elev"):
+        dp = self.dp
+        self._create(dst)
+        done = self._flags("condition")
+        M = self.margin
+        n, m = self.shape
+        for bi, bj in self._blocks():
+            if (bi, bj) in done:
+                continue
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            r0, r1 = max(0, i0 - M), min(n, i1 + M)
+            c0, c1 = max(0, j0 - M), min(m, j1 + M)
+            e = self.store.read_window(src, (r0, r1), (c0, c1))
+            if dp.fill_flats:
+                e = cond.fill_flats(
+                    e, source_tol=dp.fill_flats_source_tol,
+                    fill_peaks=dp.fill_flats_peaks,
+                    fill_pits=dp.fill_flats_pits,
+                    below_sea=dp.fill_flats_below_sea,
+                    maximum_pit_area=dp.maximum_pit_area)
+            if dp.drain_pits_path:
+                e = cond.drain_pit_paths(
+                    e, self.dX[r0: r1 - 1], self.dY[r0: r1 - 1],
+                    max_iter=dp.drain_pits_max_iter,
+                    max_dist=dp.drain_pits_max_dist,
+                    max_dist_XY=dp.drain_pits_max_dist_XY,
+                    below_sea=dp.fill_flats_below_sea)
+            self.store.write_window(dst, e[i0 - r0: i1 - r0,
+                                           j0 - c0: j1 - c0], (i0, j0))
+            done.add((bi, bj))
+            self._mark("condition", done)
+
+    # -- stage 2: slope/direction/flats (device stencil per window) ----------
+
+    def slope_direction(self, src="elev"):
+        O = 4  # stencil context: mag radius 1 + flat extension radius 1 + pad
+        for name in ("slope", "aspect"):
+            self._create(name)
+        self._create("flats", "bool", fill=False)
+        done = self._flags("slope")
+        n, m = self.shape
+        for bi, bj in self._blocks():
+            if (bi, bj) in done:
+                continue
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            # clipped windows: at canvas borders the window edge IS the
+            # canvas edge, so the stencil's edge facet subsets apply exactly
+            r0, r1 = max(0, i0 - O), min(n, i1 + O)
+            c0, c1 = max(0, j0 - O), min(m, j1 + O)
+            e = self.store.read_window(src, (r0, r1), (c0, c1))
+            mag, direction, flats = _slope_program(
+                jnp.asarray(e), jnp.asarray(self.dX[r0: r1 - 1]),
+                jnp.asarray(self.dY[r0: r1 - 1]))
+            sl = (slice(i0 - r0, i1 - r0), slice(j0 - c0, j1 - c0))
+            self.store.write_window("slope", np.asarray(mag)[sl], (i0, j0))
+            self.store.write_window("aspect", np.asarray(direction)[sl],
+                                    (i0, j0))
+            self.store.write_window("flats", np.asarray(flats)[sl], (i0, j0))
+            done.add((bi, bj))
+            self._mark("slope", done)
+
+    # -- stage 3: pit connectivity (host per-window, global link list) -------
+
+    def pit_links(self):
+        """Non-adjacent pit drain links (dem_processing.py:1269-1382) per
+        margin window; updates 'flats'/'slope' in place and persists the
+        global link list."""
+        fn = os.path.join(self.store.root, "pit_links.npz")
+        if self.resume and os.path.exists(fn) and self._links is None:
+            with np.load(fn) as z:
+                self._links = (z["src"], z["dst"], z["w"])
+            return self._links
+        if not self.dp.drain_pits:
+            self._links = (np.zeros(0, "int64"), np.zeros(0, "int64"),
+                           np.zeros(0, "float64"))
+            np.savez(fn, src=self._links[0], dst=self._links[1],
+                     w=self._links[2])
+            return self._links
+        M = self.margin
+        n, m = self.shape
+        src_all, dst_all, w_all = [], [], []
+        for bi, bj in self._blocks():
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            r0, r1 = max(0, i0 - M), min(n, i1 + M)
+            c0, c1 = max(0, j0 - M), min(m, j1 + M)
+            flats = self.store.read_window("flats", (r0, r1), (c0, c1))
+            elev = self.store.read_window("elev", (r0, r1), (c0, c1))
+            mag = self.store.read_window("slope", (r0, r1), (c0, c1))
+            src, dst, w, flats2, mag2 = cond.connectivity_pits(
+                flats, elev, mag, self.dX[r0: r1 - 1], self.dY[r0: r1 - 1],
+                max_iter=self.dp.drain_pits_max_iter,
+                max_dist=self.dp.drain_pits_max_dist,
+                max_dist_XY=self.dp.drain_pits_max_dist_XY,
+                min_border=self.dp.drain_pits_min_border)
+            mw = c1 - c0
+            si, sj = src // mw, src % mw
+            # a link is owned by the block whose interior holds its source
+            keep = ((w > 1e-8) & (si >= i0 - r0) & (si < i1 - r0)
+                    & (sj >= j0 - c0) & (sj < j1 - c0))
+            di, dj = dst // mw, dst % mw
+            src_all.append((si[keep] + r0) * m + sj[keep] + c0)
+            dst_all.append((di[keep] + r0) * m + dj[keep] + c0)
+            w_all.append(w[keep])
+            sl = (slice(i0 - r0, i1 - r0), slice(j0 - c0, j1 - c0))
+            self.store.write_window("flats", flats2[sl], (i0, j0))
+            self.store.write_window("slope", mag2[sl], (i0, j0))
+        self._links = (np.concatenate(src_all).astype("int64"),
+                       np.concatenate(dst_all).astype("int64"),
+                       np.concatenate(w_all))
+        np.savez(fn, src=self._links[0], dst=self._links[1], w=self._links[2])
+        return self._links
+
+    # -- stage 4: UCA super-block Gauss-Seidel rounds -------------------------
+
+    def _gather_state(self, idx):
+        """Current 'uca_state' values at flat indices, chunk-grouped reads."""
+        n, m = self.shape
+        si, sj = idx // m, idx % m
+        out = np.zeros(idx.shape, "float64")
+        keys = (si // self.S) * self.nbj + (sj // self.S)
+        for key in np.unique(keys):
+            bi, bj = int(key) // self.nbj, int(key) % self.nbj
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            blk = self.store.read_window("uca_state", (i0, i1), (j0, j1))
+            sel = keys == key
+            out[sel] = blk[si[sel] - i0, sj[sel] - j0]
+        return out
+
+    def _base_block(self, bi, bj):
+        (i0, i1), (j0, j1) = self._interior(bi, bj)
+        base = np.zeros((self.S, self.S), "float64")
+        rows = (self.dX2 * self.dY2)[i0: i1]
+        base[: i1 - i0, : j1 - j0] = np.nan_to_num(rows)[:, None]
+        return base
+
+    def _window(self, name, bi, bj):
+        i0, j0 = bi * self.S, bj * self.S
+        return self.store.read_window(name, (i0 - 1, i0 + self.S + 1),
+                                      (j0 - 1, j0 + self.S + 1))
+
+    def uca(self, max_rounds=10_000):
+        """Iterate super-block GS rounds to the global fixed point."""
+        state_fn = os.path.join(self.store.root, "_oocore_uca.json")
+        start_round = 0
+        if not (self.resume and "uca_state" in self.store
+                and os.path.exists(state_fn)):
+            # init state = base area
+            self._create("uca_state", fill=0.0)
+            for bi, bj in self._blocks():
+                (i0, i1), (j0, j1) = self._interior(bi, bj)
+                self.store.write_window(
+                    "uca_state", self._base_block(bi, bj)[: i1 - i0,
+                                                          : j1 - j0],
+                    (i0, j0))
+        else:
+            with open(state_fn) as f:
+                start_round = json.load(f)["round"]
+
+        src, dst, w = self._links if self._links is not None \
+            else self.pit_links()
+        has_pits = len(src) > 0
+        n, m = self.shape
+        S = self.S
+        # theta indexed at window rows i0-1 .. i0+S (edge-clamped, and
+        # extended past the last partial block)
+        theta_rows = np.pad(self.theta, (1, self.nbi * S - n + 1),
+                            mode="edge")
+
+        rounds = start_round
+        while rounds < max_rounds:
+            changed_any = False
+            if has_pits:
+                # fold pit contributions once per round (fold-before-relax,
+                # same nesting as accumulate_blocked_pits_gs)
+                contrib = self._gather_state(src) * w
+            for bi, bj in self._blocks(_SWEEP_FLIPS[rounds % 4]):
+                (i0, i1), (j0, j1) = self._interior(bi, bj)
+                base_eff = self._base_block(bi, bj)
+                if has_pits:
+                    di, dj = dst // m, dst % m
+                    sel = ((di >= i0) & (di < i1) & (dj >= j0) & (dj < j1))
+                    if sel.any():
+                        np.add.at(base_eff, (di[sel] - i0, dj[sel] - j0),
+                                  contrib[sel])
+                x_win = self.store.read_window(
+                    "uca_state", (i0 - 1, i0 + S + 1), (j0 - 1, j0 + S + 1))
+                out, chg, _r = _sb_uca_solve(
+                    jnp.asarray(x_win), jnp.asarray(self._window("elev", bi,
+                                                                 bj)),
+                    jnp.asarray(self._window("aspect", bi, bj)),
+                    jnp.asarray(self._window("flats", bi, bj)),
+                    jnp.asarray(theta_rows[i0: i0 + S + 2]),
+                    jnp.asarray(base_eff), rounds, B=self.B,
+                    inner_max=2 * self.B + 4, max_rounds=4 * (S // self.B) + 8,
+                    interpret=self.interpret)
+                if bool(chg):
+                    changed_any = True
+                    self.store.write_window(
+                        "uca_state", np.asarray(out)[: i1 - i0, : j1 - j0],
+                        (i0, j0))
+            rounds += 1
+            with open(state_fn, "w") as f:
+                json.dump({"round": rounds}, f)
+            if not changed_any:
+                break
+        self.uca_rounds = rounds
+        return rounds
+
+    # -- stage 5: finalize (uca NaN-at-flats + TWI) ---------------------------
+
+    def finalize(self):
+        self._create("uca")
+        self._create("twi")
+        dp = self.dp
+        for bi, bj in self._blocks():
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            x = self.store.read_window("uca_state", (i0, i1), (j0, j1))
+            flats = self.store.read_window("flats", (i0, i1), (j0, j1))
+            mag = self.store.read_window("slope", (i0, i1), (j0, j1))
+            uca = np.where(flats, np.nan, x)
+            self.store.write_window("uca", uca, (i0, j0))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = np.asarray(twi_fn(
+                    uca, mag, self.min_area, min_slope=dp.twi_min_slope,
+                    saturation_limit=dp.uca_saturation_limit,
+                    cap_uca=dp.apply_twi_limits_on_uca,
+                    cap_twi=dp.apply_twi_limits))
+            self.store.write_window("twi", t, (i0, j0))
+
+    def run(self):
+        """elev_src → conditioned elev → slope/aspect/flats → pit links →
+        UCA rounds → uca/twi, all bounded-memory."""
+        with self._stage("condition"):
+            self.condition()
+        with self._stage("slope_direction"):
+            self.slope_direction()
+        with self._stage("pit_links"):
+            self.pit_links()
+        with self._stage("uca"):
+            self.uca()
+        with self._stage("finalize"):
+            self.finalize()

@@ -50,13 +50,14 @@ def test_manager_mesh_matches_single_device(tmp_path, solver):
 
 @pytest.mark.parametrize("solver", ["jacobi", "blocked"])
 def test_manager_mesh_pit_terrain(tmp_path, solver):
-    """Pit-rich fixture (spiral #30 has pit links) exercises the cross-shard
-    pit fold in accumulate_sharded_pits."""
+    """Pit-rich fixture (#13 with conditioning off keeps its pit links)
+    exercises the cross-shard pit fold in accumulate_sharded_pits."""
+    opts = dict(fill_flats=False, drain_pits_path=False)
     manager.DEBUG = True
     try:
-        pm0, _ = _run(tmp_path, "single", testnum=30)
-        pm1, _ = _run(tmp_path, "mesh", mesh=_mesh(), testnum=30,
-                      uca_solver=solver)
+        pm0, _ = _run(tmp_path, "single", testnum=13, **opts)
+        pm1, _ = _run(tmp_path, "mesh", mesh=_mesh(), testnum=13,
+                      uca_solver=solver, **opts)
     finally:
         manager.DEBUG = False
     a, b = pm0.out_file["uca"], pm1.out_file["uca"]
