@@ -31,6 +31,7 @@ from .api import DEMProcessor
 from .geometry import pixel_scales
 from .io.geotiff import read_geotiff, write_geotiff
 from .io.store import ArrayStore
+from .profiling import StageTimer
 
 # Test hook with the same meaning as process_manager.DEBUG (:52): force unit
 # pixel sizes so tiling is the only variable in equivalence tests.
@@ -68,6 +69,7 @@ class ProcessManager:
         self.elev_source_files = sorted(
             os.path.join(in_path, fn) for fn in os.listdir(in_path)
             if os.path.splitext(fn)[-1].replace(".", "") in _INPUT_FILE_TYPES)
+        self.timer = StageTimer()
         self.out_file = ArrayStore(self.out_path)
         self.out_file_noverlap = {}
         self.index = None
@@ -230,10 +232,11 @@ class ProcessManager:
             dp.fill_flats = False
             dp.drain_pits_path = False
             return dp.elev
-        if dp.fill_flats:
-            dp.calc_fill_flats()
-        if dp.drain_pits_path:
-            dp.calc_pit_drain_paths()
+        with self.timer.stage("elevation"):
+            if dp.fill_flats:
+                dp.calc_fill_flats()
+            if dp.drain_pits_path:
+                dp.calc_pit_drain_paths()
         self.out_file["elev"] = dp.elev
         return self.out_file["elev"]
 
@@ -260,10 +263,12 @@ class ProcessManager:
             dp.mag = self.out_file["slope"]
             dp.flats = dp.mag == -1
             return dp.mag, dp.direction
-        if self.mesh is not None:
-            dp.mag, dp.direction, dp.flats = self._sharded_pipeline().pre()
-        else:
-            dp.calc_slopes_directions()
+        with self.timer.stage("aspect_slope"):
+            if self.mesh is not None:
+                dp.mag, dp.direction, dp.flats = \
+                    self._sharded_pipeline().pre()
+            else:
+                dp.calc_slopes_directions()
         self.out_file["aspect"] = dp.direction
         self.out_file["slope"] = dp.mag
         return dp.mag, dp.direction
@@ -273,32 +278,34 @@ class ProcessManager:
         if self._resume_hit("uca"):
             dp.uca = self.out_file["uca"]
             return dp.uca
-        if self.mesh is not None:
-            if dp.direction is None:
-                self.process_aspect_slope()
-            sp = self._sharded_pipeline()
-            if dp.drain_pits_spill and not (dp.drain_pits or dp.drain_flats):
-                # the spill mode's host connectivity needs section
-                # (dem_processing.py:1384-1508)
-                from .api import _section_program
-                import jax.numpy as jnp
+        with self.timer.stage("uca"):
+            if self.mesh is not None:
+                if dp.direction is None:
+                    self.process_aspect_slope()
+                sp = self._sharded_pipeline()
+                if dp.drain_pits_spill and not (dp.drain_pits
+                                                or dp.drain_flats):
+                    # the spill mode's host connectivity needs section
+                    # (dem_processing.py:1384-1508)
+                    from .api import _section_program
+                    import jax.numpy as jnp
 
-                section, proportion = _section_program(
-                    jnp.asarray(dp.direction), jnp.asarray(dp.flats),
-                    jnp.asarray(dp.dX), jnp.asarray(dp.dY))
-                dp.section = np.asarray(section)
-                dp.proportion = np.asarray(proportion)
-            pit_src, pit_dst, pit_w, flats2, mag2 = dp._drain_links()
-            keep = pit_w > 1e-8  # adjacency pruning, dem_processing.py:1136
-            area, rounds = sp.uca(
-                (pit_src[keep], pit_dst[keep], pit_w[keep]))
-            dp.uca = np.where(flats2, np.nan, area)
-            dp.mag = np.asarray(mag2)
-            dp.flats = np.asarray(flats2)
-            dp.uca_sweeps = rounds
-            dp.twi_min_area = min(dp.twi_min_area, sp.min_area)
-        else:
-            dp.calc_uca()
+                    section, proportion = _section_program(
+                        jnp.asarray(dp.direction), jnp.asarray(dp.flats),
+                        jnp.asarray(dp.dX), jnp.asarray(dp.dY))
+                    dp.section = np.asarray(section)
+                    dp.proportion = np.asarray(proportion)
+                pit_src, pit_dst, pit_w, flats2, mag2 = dp._drain_links()
+                keep = pit_w > 1e-8  # pruning, dem_processing.py:1136
+                area, rounds = sp.uca(
+                    (pit_src[keep], pit_dst[keep], pit_w[keep]))
+                dp.uca = np.where(flats2, np.nan, area)
+                dp.mag = np.asarray(mag2)
+                dp.flats = np.asarray(flats2)
+                dp.uca_sweeps = rounds
+                dp.twi_min_area = min(dp.twi_min_area, sp.min_area)
+            else:
+                dp.calc_uca()
         self.out_file["uca"] = dp.uca
         self.out_file["edge_todo"] = np.zeros(dp.uca.shape, bool)
         self.out_file["edge_done"] = np.ones(dp.uca.shape, bool)
@@ -315,7 +322,19 @@ class ProcessManager:
         if dp.uca is None:
             self.process_uca()
         self.out_file["uca_edges"] = dp.uca
-        self.out_file["uca_edge_metrics"] = np.ones((self.n_inputs, 2))
+        # Real per-tile edge state, measured on the solved canvas (the
+        # reference's (p_done, n_done) scheduler signal,
+        # process_manager.py:199-221): the done fraction is 1 by
+        # construction of the global solve; the first column reports the
+        # fraction of each tile's edge pixels carrying a defined UCA
+        # (NaN = flats / no-data).
+        metrics = np.ones((self.n_inputs, 2))
+        for i, (si, sj) in enumerate(self.grid_slice):
+            tile = dp.uca[si, sj]
+            edge = np.concatenate([tile[0, :], tile[-1, :],
+                                   tile[1:-1, 0], tile[1:-1, -1]])
+            metrics[i, 0] = float(np.isfinite(edge).mean())
+        self.out_file["uca_edge_metrics"] = metrics
         return 0  # rounds needed
 
     # -- bounded-memory (out-of-core) pipeline -------------------------------
@@ -345,12 +364,15 @@ class ProcessManager:
         dX, dY, dX2, dY2 = self._pixel_vectors()
         eng = OutOfCoreEngine(self.out_file, self.grid_shape, dX, dY, dX2,
                               dY2, dem_proc_kwargs=self.dem_proc_kwargs,
-                              superblock=self.superblock, resume=self.resume)
+                              superblock=self.superblock, resume=self.resume,
+                              timer=self.timer)
         self._ooc = eng
-        self._ingest_out_of_core(eng.S)
+        with self.timer.stage("ingest"):
+            self._ingest_out_of_core(eng.S)
         eng.run()
         self.out_file["success"] = np.ones((self.n_inputs,), bool) \
             .reshape(-1, 1)
+        self._dump_metrics()
         return self.out_file
 
     def process_twi(self):
@@ -363,10 +385,35 @@ class ProcessManager:
         self.process_uca()
         self.process_uca_edges()
         dp = self._processor()
-        dp.calc_twi()
+        with self.timer.stage("twi"):
+            dp.calc_twi()
         self.out_file["twi"] = dp.twi
         self.out_file["success"] = np.ones((self.n_inputs,), bool).reshape(-1, 1)
+        self._dump_metrics()
         return dp.twi
+
+    def _dump_metrics(self):
+        """Persist run observability into the store (BASELINE.md metrics:
+        stage seconds, UCA iterations to convergence, halo-exchange
+        fraction)."""
+        import json
+
+        dp = self._dp
+        metrics = {
+            "stage_seconds": self.timer.report(),
+            "uca_iters_to_converge": int(getattr(dp, "uca_sweeps", -1))
+            if dp is not None else -1,
+            "canvas_shape": list(self.grid_shape or ()),
+            "n_tiles": self.n_inputs,
+        }
+        if self._sp is not None:
+            metrics.update(self._sp.halo_metrics())
+        if getattr(self, "_ooc", None) is not None:
+            metrics["uca_iters_to_converge"] = int(self._ooc.uca_rounds)
+            metrics["halo_fraction"] = self._ooc.halo_fraction()
+        with open(os.path.join(self.out_path, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        return metrics
 
     # -- export -------------------------------------------------------------
 

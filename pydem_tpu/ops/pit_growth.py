@@ -107,18 +107,74 @@ def grow_pits(elev, pits_bool, pit_i, pit_j, W=96, max_iter=300,
     return oi, oj, drain, found
 
 
+@partial(jax.jit, static_argnames=("W", "max_iter", "min_border", "K",
+                                   "max_dist", "has_xy"))
+def _grow_and_extract(elev, pits_bool, pit_i, pit_j, cdX, cdY, dX, dY,
+                      max_dist_xy, W=96, max_iter=300, min_border=False,
+                      K=48, max_dist=32, has_xy=False):
+    """Grow all pits AND assemble their drain links on device.
+
+    Per pit, the up-to-K drain cells (row-major, matching the host path's
+    np.nonzero order) are turned into (flat index, normalized slope weight)
+    pairs with the exact distance arithmetic of
+    ``conditioning.connectivity_pits`` (mean fence spacing × coordinate
+    offsets, dem_processing.py:1337-1357, 1993-1997).  Returns per-pit
+    ``(dst (P,K), wgt (P,K), valid (P,K), mean_s (P,), ok (P,),
+    n_drains (P,))`` — only O(P·K) scalars cross back to the host instead
+    of the (P, W, W) masks."""
+    n, m = elev.shape
+    oi, oj, drain, found = grow_pits(elev, pits_bool, pit_i, pit_j, W=W,
+                                     max_iter=max_iter,
+                                     min_border=min_border)
+    fdt = elev.dtype
+
+    def one(drain_p, oi_, oj_, pi_, pj_, found_p):
+        di, dj = jnp.nonzero(drain_p, size=K, fill_value=W)
+        valid = (di < W) & found_p
+        Id = jnp.clip(di + oi_, 0, n - 1)
+        Jd = jnp.clip(dj + oj_, 0, m - 1)
+        if max_dist:
+            valid &= ((pi_ - Id) ** 2 + (pj_ - Jd) ** 2
+                      <= max_dist * max_dist)
+        a = jnp.minimum(pi_, Id)
+        b = jnp.maximum(pi_, Id)
+        same = a == b
+        dx = jnp.where(same, dX[jnp.minimum(pi_, n - 2)],
+                       (cdX[b] - cdX[a]) / jnp.maximum(b - a, 1)
+                       .astype(fdt))
+        dx = dx * (pj_ - Jd).astype(fdt)
+        dy = cdY[b] - cdY[a]
+        dxy = jnp.sqrt(dx * dx + dy * dy)
+        if has_xy:
+            valid &= dxy <= max_dist_xy
+        s = jnp.abs(elev[pi_, pj_] - elev[Id, Jd]) / jnp.where(dxy > 0,
+                                                               dxy, 1.0)
+        s = jnp.where(valid, s, 0.0)
+        ssum = jnp.sum(s)
+        cnt = jnp.sum(valid)
+        ok = found_p & (cnt > 0)
+        wgt = s / jnp.where(ssum > 0, ssum, 1.0)
+        mean_s = ssum / jnp.maximum(cnt, 1).astype(fdt)
+        return Id * m + Jd, wgt, valid, mean_s, ok, jnp.sum(drain_p)
+
+    return jax.vmap(one)(drain, oi, oj, pit_i, pit_j, found)
+
+
 def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
                              max_dist=32, max_dist_XY=None, min_border=False,
-                             window=96):
-    """Drop-in replacement for ``conditioning.connectivity_pits`` running the
-    growth loops on device.  Same return signature."""
+                             window=96, link_capacity=48):
+    """Drop-in replacement for ``conditioning.connectivity_pits`` running
+    the growth loops AND link assembly on device.  Same return signature.
+
+    Pits with more than ``link_capacity`` drain cells (rare — drains are a
+    strict-minimum subset of one border ring) fall back to exact host
+    assembly from their fetched masks."""
     import warnings
 
     flats = np.asarray(flats).copy()
     mag = np.asarray(mag).copy()
     elev = np.asarray(elev)
     n, m = elev.shape
-    e = elev.ravel()
     pits_bool = flats & (elev > 0)
     pits = np.argwhere(pits_bool)
     if pits.size == 0:
@@ -126,56 +182,100 @@ def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
                 np.zeros(0, "float64"), flats, mag)
 
     W = int(min(window, n, m))
-    oi, oj, drain_masks, found = jax.tree.map(np.asarray, grow_pits(
-        jnp.asarray(elev), jnp.asarray(pits_bool),
-        jnp.asarray(pits[:, 0]), jnp.asarray(pits[:, 1]),
-        W=W, max_iter=max_iter, min_border=min_border))
-
+    K = int(link_capacity)
     cdX = np.concatenate([[0.0], np.cumsum(dX)])
     cdY = np.concatenate([[0.0], np.cumsum(dY)])
+    # fixed-size pit batches (last pit repeated as padding): the vmapped
+    # program compiles exactly once per (W, K) config, never per terrain
+    P = len(pits)
+    PB = 2048
+    elev_d = jnp.asarray(elev)
+    pits_bool_d = jnp.asarray(pits_bool)
+    consts = (jnp.asarray(cdX, elev.dtype), jnp.asarray(cdY, elev.dtype),
+              jnp.asarray(dX, elev.dtype), jnp.asarray(dY, elev.dtype))
+    chunks = []
+    for p0 in range(0, P, PB):
+        batch = pits[p0: p0 + PB]
+        if len(batch) < PB:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], PB - len(batch), axis=0)])
+        chunks.append(_grow_and_extract(
+            elev_d, pits_bool_d, jnp.asarray(batch[:, 0]),
+            jnp.asarray(batch[:, 1]), *consts,
+            np.float64(max_dist_XY or 0.0), W=W, max_iter=max_iter,
+            min_border=min_border, K=K, max_dist=max_dist,
+            has_xy=bool(max_dist_XY)))
+    outs = [np.concatenate([np.asarray(c[i]) for c in chunks])[:P]
+            for i in range(6)]
+    dst_d, wgt_d, valid_d, mean_s_d, ok_d, ndr_d = outs
 
-    src, dst, wgt = [], [], []
-    warn_pits = 0
-    for p in range(len(pits)):
-        if not found[p]:
-            warn_pits += 1
-            continue
-        ipit, jpit = pits[p]
-        di_, dj_ = np.nonzero(drain_masks[p])
-        Id = di_ + oi[p]
-        Jd = dj_ + oj[p]
-        if max_dist:
-            b = np.sqrt((ipit - Id) ** 2 + (jpit - Jd) ** 2) <= max_dist
-            if not b.any():
+    overflow = ndr_d > K
+    fast = ~overflow
+    src_flat = pits[:, 0] * m + pits[:, 1]
+
+    take = fast[:, None] & valid_d & ok_d[:, None]
+    src = np.repeat(src_flat, K).reshape(-1, K)[take]
+    dst = dst_d[take].astype("int64")
+    wgt = wgt_d[take]
+    drained = fast & ok_d
+    mag.ravel()[src_flat[drained]] = mean_s_d[drained]
+    flats.ravel()[src_flat[drained]] = False
+    warn_pits = int((fast & ~ok_d).sum())
+
+    if overflow.any():
+        # exact host assembly for the rare over-capacity pits
+        idx = np.where(overflow)[0]
+        cap = 1
+        while cap < len(idx):
+            cap *= 2
+        pidx = np.concatenate([idx, np.repeat(idx[-1:], cap - len(idx))])
+        oi, oj, drain_masks, found = jax.tree.map(np.asarray, grow_pits(
+            elev_d, pits_bool_d,
+            jnp.asarray(pits[pidx, 0]), jnp.asarray(pits[pidx, 1]),
+            W=W, max_iter=max_iter, min_border=min_border))
+        e = elev.ravel()
+        src2, dst2, wgt2 = [], [], []
+        for q, p in enumerate(idx):
+            if not found[q]:
                 warn_pits += 1
                 continue
-            Id, Jd = Id[b], Jd[b]
-        # real distances (mean fence spacing × coordinate offsets)
-        dx = np.empty(len(Id))
-        dy = np.empty(len(Id))
-        for k, i2 in enumerate(Id):
-            a, b2 = sorted((ipit, int(i2)))
-            if a == b2:  # same row: single fence value (dem_processing.py:1993)
-                dx[k] = dX[min(ipit, len(dX) - 1)]
-            else:
-                dx[k] = (cdX[b2] - cdX[a]) / (b2 - a)
-            dx[k] *= (jpit - Jd[k])
-            dy[k] = cdY[b2] - cdY[a]
-        dxy = np.sqrt(dx ** 2 + dy ** 2)
-        if max_dist_XY:
-            b = dxy <= max_dist_XY
-            if not b.any():
-                warn_pits += 1
-                continue
-            Id, Jd, dxy = Id[b], Jd[b], dxy[b]
-
-        drains_flat = Id * m + Jd
-        s = np.abs(e[ipit * m + jpit] - e[drains_flat]) / dxy
-        src += [ipit * m + jpit] * len(drains_flat)
-        dst += drains_flat.tolist()
-        wgt += (s / s.sum()).tolist()
-        mag[ipit, jpit] = np.mean(s)
-        flats[ipit, jpit] = False
+            ipit, jpit = pits[p]
+            di_, dj_ = np.nonzero(drain_masks[q])
+            Id = di_ + oi[q]
+            Jd = dj_ + oj[q]
+            if max_dist:
+                b = np.sqrt((ipit - Id) ** 2 + (jpit - Jd) ** 2) <= max_dist
+                if not b.any():
+                    warn_pits += 1
+                    continue
+                Id, Jd = Id[b], Jd[b]
+            dx = np.empty(len(Id))
+            dy = np.empty(len(Id))
+            for k, i2 in enumerate(Id):
+                a, b2 = sorted((ipit, int(i2)))
+                if a == b2:  # same row (dem_processing.py:1993)
+                    dx[k] = dX[min(ipit, len(dX) - 1)]
+                else:
+                    dx[k] = (cdX[b2] - cdX[a]) / (b2 - a)
+                dx[k] *= (jpit - Jd[k])
+                dy[k] = cdY[b2] - cdY[a]
+            dxy = np.sqrt(dx ** 2 + dy ** 2)
+            if max_dist_XY:
+                b = dxy <= max_dist_XY
+                if not b.any():
+                    warn_pits += 1
+                    continue
+                Id, Jd, dxy = Id[b], Jd[b], dxy[b]
+            drains_flat = Id * m + Jd
+            s = np.abs(e[ipit * m + jpit] - e[drains_flat]) / dxy
+            src2 += [ipit * m + jpit] * len(drains_flat)
+            dst2 += drains_flat.tolist()
+            wgt2 += (s / s.sum()).tolist()
+            mag[ipit, jpit] = np.mean(s)
+            flats[ipit, jpit] = False
+        src = np.concatenate([src, np.asarray(src2, "int64")])
+        dst = np.concatenate([dst, np.asarray(dst2, "int64")])
+        wgt = np.concatenate([wgt, np.asarray(wgt2, "float64")])
 
     if warn_pits:
         warnings.warn("%d pits had no place to drain to in this chunk"

@@ -408,6 +408,12 @@ class OutOfCoreEngine:
                     cap_twi=dp.apply_twi_limits))
             self.store.write_window("twi", t, (i0, j0))
 
+    def halo_fraction(self):
+        """Fraction of per-visit window traffic that is the frozen 1-px
+        ring (BASELINE.md metric #3 at super-block granularity)."""
+        S = self.S
+        return (((S + 2) ** 2 - S * S) / float(S * S))
+
     def run(self):
         """elev_src → conditioned elev → slope/aspect/flats → pit links →
         UCA rounds → uca/twi, all bounded-memory."""

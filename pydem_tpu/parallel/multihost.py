@@ -54,10 +54,16 @@ def assemble_global(local_rows, mesh):
 
 
 def run_global(local_rows, dX, dY, dX2=None, dY2=None, mesh=None,
-               n_sweeps=None):
+               n_sweeps=None, uca_solver="jacobi"):
     """Full pipeline over the multi-host canvas; returns sharded outputs
     (each host can `jax.experimental.multihost_utils` -gather or slice out
-    its own rows for export)."""
+    its own rows for export).
+
+    ``uca_solver="blocked"`` runs the production per-shard Pallas
+    Gauss-Seidel solver with explicit ppermute halo exchange
+    (``sharded.accumulate_sharded``) — halos ride ICI within each host's
+    slice, and the per-round convergence psum is the only DCN-crossing
+    collective."""
     if mesh is None:
         mesh = global_mesh()
     elev = assemble_global(local_rows, mesh)
@@ -69,4 +75,11 @@ def run_global(local_rows, dX, dY, dX2=None, dY2=None, mesh=None,
     dY2 = jnp.ones(n, dt) if dY2 is None else jnp.asarray(dY2, dt)
     rep = sharded.replicated(mesh)
     args = [jax.device_put(v, rep) for v in (dX, dY, dX2, dY2)]
+    if uca_solver == "blocked" and n_sweeps is None:
+        mag, direction, flats, W, base = sharded.terrain_pre(elev, *args)
+        area, rounds = sharded.sharded_uca(base, W, mesh,
+                                           uca_solver="blocked")
+        uca, twi = sharded.terrain_post(area, flats, mag, base)
+        return dict(mag=mag, direction=direction, flats=flats, uca=uca,
+                    twi=twi, uca_sweeps=rounds)
     return sharded.terrain_step(elev, *args, n_sweeps=n_sweeps)

@@ -411,7 +411,23 @@ class ShardedPipeline:
         area, rounds = sharded_uca(self._base, self._W, self.mesh,
                                    pit_links=pit_links,
                                    uca_solver=self.uca_solver)
-        return np.asarray(area), int(rounds)
+        self.uca_rounds = int(rounds)
+        return np.asarray(area), self.uca_rounds
+
+    def halo_metrics(self):
+        """Halo-exchange accounting for BASELINE.md metric #3: the fraction
+        of per-round canvas traffic that is 1-px halo rings (ppermute over
+        ICI for the blocked solver; XLA collective-permutes under GSPMD for
+        jacobi)."""
+        n, m = self.elev.shape
+        gy, gx = self.mesh.devices.shape
+        n_l, m_l = -(-n // gy), -(-m // gx)
+        ring = 2 * (n_l + 2) + 2 * m_l  # rows then extended columns
+        frac = ring * gy * gx / float(n * m)
+        return {"halo_px_per_round_per_shard": ring,
+                "halo_fraction": frac,
+                "mesh_shape": [int(gy), int(gx)],
+                "uca_rounds": int(getattr(self, "uca_rounds", -1))}
 
 
 def run_sharded(elev, dX, dY, dX2=None, dY2=None, mesh=None, n_sweeps=None,
