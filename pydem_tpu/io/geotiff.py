@@ -145,39 +145,28 @@ def _undo_predictor(arr, predictor, dtype):
     return arr
 
 
-def read_geotiff(fn, header_only=False):
-    """Read band 1 of a GeoTIFF into a :class:`GeoTiff`.
-
-    ``header_only=True`` parses tags only (shape/transform/CRS/nodata) and
-    leaves ``data`` as None — O(header) work, used by the bounded-memory
-    tile-grid discovery."""
-    with open(fn, "rb") as f:
-        d = f.read()
-    if d[:2] == b"II":
-        bo = "<"
-    elif d[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("Not a TIFF file: %r" % fn)
-    magic = struct.unpack(bo + "H", d[2:4])[0]
-    if magic != 42:
-        raise ValueError("Unsupported TIFF magic %d (BigTIFF not supported "
-                         "by this reader)" % magic)
-    ifd_off = struct.unpack(bo + "I", d[4:8])[0]
-
+def _parse_ifd(d, bo, ifd_off, big):
+    """One IFD (classic or BigTIFF) → (tags dict, next-IFD offset)."""
     tags = {}
-    n = struct.unpack(bo + "H", d[ifd_off: ifd_off + 2])[0]
+    if big:
+        n = struct.unpack(bo + "Q", d[ifd_off: ifd_off + 8])[0]
+        base, esz, vsz, vfmt = ifd_off + 8, 20, 8, "Q"
+        cfmt = "HHQ"
+    else:
+        n = struct.unpack(bo + "H", d[ifd_off: ifd_off + 2])[0]
+        base, esz, vsz, vfmt = ifd_off + 2, 12, 4, "I"
+        cfmt = "HHI"
     for i in range(n):
-        e = d[ifd_off + 2 + 12 * i: ifd_off + 2 + 12 * (i + 1)]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        e = d[base + esz * i: base + esz * (i + 1)]
+        tag, typ, cnt = struct.unpack(bo + cfmt, e[: esz - vsz])
         if typ not in _TYPES:
             continue
         code, size = _TYPES[typ]
         total = size * cnt
-        if total <= 4:
-            raw = e[8: 8 + total]
+        if total <= vsz:
+            raw = e[esz - vsz: esz - vsz + total]
         else:
-            off = struct.unpack(bo + "I", e[8:12])[0]
+            off = struct.unpack(bo + vfmt, e[esz - vsz: esz])[0]
             raw = d[off: off + total]
         if typ == 2:
             vals = raw.rstrip(b"\0").decode("ascii", "replace")
@@ -187,6 +176,45 @@ def read_geotiff(fn, header_only=False):
         else:
             vals = list(struct.unpack(bo + code * cnt, raw))
         tags[tag] = vals
+    nxt = struct.unpack(bo + vfmt,
+                        d[base + esz * n: base + esz * n + vsz])[0]
+    return tags, nxt
+
+
+def read_geotiff(fn, header_only=False, ifd_index=0):
+    """Read band 1 of a GeoTIFF into a :class:`GeoTiff`.
+
+    Classic and BigTIFF (version 43) layouts are supported.
+    ``header_only=True`` parses tags only (shape/transform/CRS/nodata) and
+    leaves ``data`` as None — O(header) work, used by the bounded-memory
+    tile-grid discovery.  ``ifd_index`` selects subsequent IFDs (embedded
+    overview levels); IndexError if absent."""
+    with open(fn, "rb") as f:
+        d = f.read()
+    if d[:2] == b"II":
+        bo = "<"
+    elif d[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("Not a TIFF file: %r" % fn)
+    magic = struct.unpack(bo + "H", d[2:4])[0]
+    if magic == 42:
+        big = False
+        ifd_off = struct.unpack(bo + "I", d[4:8])[0]
+    elif magic == 43:
+        big = True
+        offsize, zero = struct.unpack(bo + "HH", d[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError("Malformed BigTIFF header")
+        ifd_off = struct.unpack(bo + "Q", d[8:16])[0]
+    else:
+        raise ValueError("Unsupported TIFF magic %d" % magic)
+
+    tags, nxt = _parse_ifd(d, bo, ifd_off, big)
+    for _ in range(ifd_index):
+        if not nxt:
+            raise IndexError("TIFF has no IFD index %d" % ifd_index)
+        tags, nxt = _parse_ifd(d, bo, nxt, big)
 
     def tag1(t, default=None):
         v = tags.get(t)

@@ -457,6 +457,34 @@ class ProcessManager:
         write_geotiff(fn, self.out_file[key].astype("float32"),
                       self.transform, nodata=-9999, compress=True)
 
+    def save_geotiff_tiled(self, key, fn, overview_factors=(3, 9, 27),
+                           bigtiff="auto", tile=256, nodata=-9999.0):
+        """Windowed tiled GeoTIFF/BigTIFF export with embedded overview
+        pyramids — the reference's huge-raster path
+        (process_manager.py:786-931: tiled LZW bigtiff + build_overviews),
+        streamed from the store so the raster is never materialized."""
+        from .io.bigtiff import TiledTiffWriter
+
+        meta = self.out_file._meta(key)
+        shape = meta["shape"]
+        factors = [f for f in overview_factors if min(shape) // f >= 1]
+        with TiledTiffWriter(fn, shape, "float32", transform=self.transform,
+                             nodata=nodata, tile=tile, bigtiff=bigtiff,
+                             projected=self._projected) as w:
+            for i0 in range(0, shape[0], tile):
+                band = self.out_file.read_window(
+                    key, (i0, min(i0 + tile, shape[0])),
+                    (0, shape[1])).astype("float32")
+                band = np.where(np.isnan(band), np.float32(nodata), band)
+                w.write_window(band, (i0, 0))
+
+            def rw(rows, cols):
+                return self.out_file.read_window(key, rows,
+                                                 cols).astype("float32")
+
+            w.build_overviews(factors, rw)
+        return fn
+
     def process_overviews(self, keys=("twi",), factors=(3, 9, 27),
                           method="mean"):
         """Store overview pyramids in the zarr store (reference :933-991)."""
