@@ -9,10 +9,24 @@ line:
 
 vs_baseline is measured against the *reference implementation's* throughput
 (numpy pipeline + its Cython wavefront kernel re-created in C++ at -O3 via
-tools/oracle.py) on this machine's CPU at 1024², the largest size where the
-reference finishes quickly.  Ratio > 1 means pydem_tpu is faster per chip
-than pyDEM per CPU.  The reference publishes no benchmark numbers of its own
-(BASELINE.md), so this measured baseline is the comparison standard.
+tools/oracle.py) on this machine's CPU — on the SAME terrain for each
+config: a smooth 1024² cone for the headline chain and a quantized noisy
+cone ("hard terrain": pit/flat-dense, the regime real DEMs live in) for the
+conditioning-inclusive chain.  The reference publishes no numbers of its own
+(BASELINE.md), so these measured baselines are the comparison standard.
+
+Correctness gate: before any timing, the compiled production Pallas blocked
+solver must reproduce the XLA jacobi fixed point on the bench terrain
+(values + NaN pattern).  A miscompiled kernel fails the bench instead of
+producing a fast lie.
+
+Measurement notes (memory: the axon tunnel):
+- sync by fetching a scalar the computation produced inside jit;
+- the ~28 ms fetch RTT is amortized by running `reps` chained pipeline
+  evaluations inside ONE jitted program (each on differently-perturbed
+  input, defeating any result caching);
+- persistent compile cache cannot capture axon-server compiles, so warmup
+  happens per process before timing.
 """
 import json
 import os
@@ -26,6 +40,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "too
 
 N_TPU = int(os.environ.get("PYDEM_BENCH_N", 2048))
 N_REF = int(os.environ.get("PYDEM_BENCH_REF_N", 1024))
+N_HARD = int(os.environ.get("PYDEM_BENCH_HARD_N", 1024))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "baseline_cache.json")
 
@@ -34,71 +49,6 @@ def make_cone(n, dtype="float32"):
     x, y = np.mgrid[-1:1:complex(0, n), -1:1:complex(0, n)]
     elev = 1 - np.sqrt(x**2 + y**2) / np.sqrt(2.0)
     return (elev - elev.min() + 0.05).astype(dtype)
-
-
-def _enable_compile_cache():
-    """Persistent compile cache, keyed by platform: XLA compiles of the 4
-    Gauss-Seidel kernel orientations dominate cold-start wall clock (~3 min
-    at 4096²).  Never share a cache dir across platforms — AOT entries
-    compiled for another host's CPU flags mis-execute silently."""
-    import jax
-
-    platform = jax.devices()[0].platform
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/pydem_tpu_bench_cache_%s" % platform)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-def bench_tpu(n):
-    import jax
-    import jax.numpy as jnp
-    from pydem_tpu.parallel.sharded import terrain_step
-
-    _enable_compile_cache()
-
-    elev = jnp.asarray(make_cone(n))
-    dX = jnp.ones(n - 1, jnp.float32)
-    dY = jnp.ones(n - 1, jnp.float32)
-    dX2 = jnp.ones(n, jnp.float32)
-    dY2 = jnp.ones(n, jnp.float32)
-
-    # Measurement notes: each rep perturbs the input (defeats any remote
-    # result caching) and syncs on a scalar that depends on the whole UCA
-    # loop (uca_sweeps), so timing covers real execution without paying the
-    # full device->host canvas transfer per rep.
-    dev = jax.devices()[0]
-    solver = "blocked" if dev.platform == "tpu" else "jacobi"
-    eps = [jnp.float32(1e-6 * (i + 1)) for i in range(8)]
-    out = terrain_step(elev + eps[-1], dX, dY, dX2, dY2, uca_solver=solver)
-    np.asarray(out["uca"])  # warm compile + one full transfer
-    reps = 5
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = terrain_step(elev + eps[i], dX, dY, dX2, dY2, uca_solver=solver)
-        sweeps = int(out["uca_sweeps"])  # scalar sync
-    dt = (time.perf_counter() - t0) / reps
-    return n * n / dt, dt, sweeps, str(dev.platform)
-
-
-def bench_reference(n):
-    """Reference pipeline throughput on this host (slope + UCA + TWI)."""
-    import warnings
-
-    import oracle
-
-    if oracle._load_native() is None:
-        return None
-    elev = make_cone(n, "float64")
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        ref = oracle.reference_processor(
-            elev, fill_flats=False, drain_pits_path=False)
-        t0 = time.perf_counter()
-        ref.calc_slopes_directions()
-        ref.calc_uca()
-        ref.calc_twi()
-        dt = time.perf_counter() - t0
-    return n * n / dt
 
 
 def make_hard_terrain(n, dtype="float64"):
@@ -113,6 +63,190 @@ def make_hard_terrain(n, dtype="float64"):
     return elev.astype(dtype)
 
 
+def _enable_compile_cache():
+    """Persistent compile cache, keyed by platform.  Never share a cache dir
+    across platforms — AOT entries compiled for another host's CPU flags
+    mis-execute silently."""
+    import jax
+
+    platform = jax.devices()[0].platform
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/pydem_tpu_bench_cache_%s" % platform)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _solver():
+    import jax
+
+    return "blocked" if jax.devices()[0].platform == "tpu" else "jacobi"
+
+
+def gate_blocked_vs_jacobi(n):
+    """Production-config correctness gate: the compiled Pallas blocked GS
+    solver (B=256, aliased manual DMA, 4 corner orders) must match the XLA
+    jacobi fixed point on the bench terrain, values + NaN pattern, BEFORE
+    anything is timed.  Also gated on the hard terrain (pit links through
+    accumulate_blocked_pits_gs)."""
+    import jax
+    import jax.numpy as jnp
+    from pydem_tpu.parallel.sharded import terrain_step
+    from pydem_tpu import DEMProcessor
+
+    if jax.devices()[0].platform not in ("tpu",):
+        return "skipped (no TPU: jacobi is the production solver here)"
+
+    elev = jnp.asarray(make_cone(n))
+    args = (jnp.ones(n - 1, jnp.float32), jnp.ones(n - 1, jnp.float32),
+            jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32))
+    a = terrain_step(elev, *args, uca_solver="jacobi")
+    b = terrain_step(elev, *args, uca_solver="blocked")
+    ua, ub = np.asarray(a["uca"]), np.asarray(b["uca"])
+    if not (np.isnan(ua) == np.isnan(ub)).all():
+        raise AssertionError("GATE FAILED: blocked vs jacobi NaN pattern "
+                             "differs on %d² cone" % n)
+    if not np.allclose(np.nan_to_num(ua), np.nan_to_num(ub),
+                       rtol=1e-5, atol=1e-3):
+        bad = np.nanmax(np.abs(ua - ub))
+        raise AssertionError("GATE FAILED: blocked vs jacobi uca differs "
+                             "(max %.3g) on %d² cone" % (bad, n))
+
+    nh = min(512, n)
+    eh = make_hard_terrain(nh)
+    da = DEMProcessor(elev=eh.copy(), conditioning_backend="device",
+                      pit_backend="device", uca_solver="jacobi")
+    da.calc_uca()
+    db = DEMProcessor(elev=eh.copy(), conditioning_backend="device",
+                      pit_backend="device", uca_solver="blocked")
+    db.calc_uca()
+    if not (np.isnan(da.uca) == np.isnan(db.uca)).all():
+        raise AssertionError("GATE FAILED: hard-terrain NaN pattern differs")
+    if not np.allclose(np.nan_to_num(da.uca), np.nan_to_num(db.uca),
+                       rtol=1e-4, atol=1e-2):
+        bad = np.nanmax(np.abs(da.uca - db.uca))
+        raise AssertionError("GATE FAILED: hard-terrain blocked vs jacobi "
+                             "uca differs (max %.3g)" % bad)
+    return "passed (cone %d² + hard %d²)" % (n, nh)
+
+
+def bench_tpu(n, reps=5):
+    """Full-chain throughput; sync amortized by chaining reps inside jit."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from pydem_tpu.parallel.sharded import terrain_step
+
+    solver = _solver()
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def multi(elev, dX, dY, dX2, dY2, reps):
+        def body(i, acc):
+            # per-rep perturbation > f32 eps so no result can be reused
+            e = elev + (i + 1).astype(elev.dtype) * 1e-5
+            out = terrain_step(e, dX, dY, dX2, dY2, uca_solver=solver)
+            # fold every output in so nothing dead-code-eliminates
+            return (acc + out["uca_sweeps"]
+                    + jnp.isfinite(out["twi"]).sum().astype(jnp.int32) % 7)
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+    elev = jnp.asarray(make_cone(n))
+    args = (jnp.ones(n - 1, jnp.float32), jnp.ones(n - 1, jnp.float32),
+            jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32))
+    # warm both compiles (reps is a static arg -> two programs)
+    int(multi(elev, *args, reps=1))
+    int(multi(elev, *args, reps=reps))
+
+    t0 = time.perf_counter()
+    sync0 = int(multi(elev, *args, reps=1))
+    t_one = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sync = int(multi(elev, *args, reps=reps))
+    dt = (time.perf_counter() - t0) / reps
+
+    out = terrain_step(elev, *args, uca_solver=solver)
+    sweeps = int(out["uca_sweeps"])
+    return n * n / dt, dt, sweeps, str(jax.devices()[0].platform), t_one
+
+
+def bench_hard_terrain(n):
+    """Full DEMProcessor chain (device backends) on pit/flat-rich terrain,
+    including host orchestration and conditioning — the number that matters
+    for real DEMs.  Median of 3 steady-state runs (the axon tunnel adds
+    per-dispatch jitter)."""
+    import warnings
+
+    from pydem_tpu import DEMProcessor
+
+    def run(eps):
+        elev = make_hard_terrain(n)
+        elev[1:-1, 1:-1] += eps  # defeat result caching; keep edges/sea
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            t0 = time.perf_counter()
+            dp = DEMProcessor(elev=elev, conditioning_backend="device",
+                              pit_backend="device")
+            dp.calc_twi()
+            return time.perf_counter() - t0, dp
+
+    run(0.0)  # warm compiles (axon compiles are not cacheable on disk)
+    times = []
+    for i in (1, 2, 3):
+        dt, dp = run(i * 1e-7)
+        times.append(dt)
+    dt = float(np.median(times))
+    return n * n / dt, dt, dp
+
+
+def bench_reference(n, hard=False):
+    """Reference pipeline throughput on this host, same terrain."""
+    import warnings
+
+    import oracle
+
+    if oracle._load_native() is None:
+        return None
+    if hard:
+        elev = make_hard_terrain(n)
+        kw = {}
+    else:
+        elev = make_cone(n, "float64")
+        kw = dict(fill_flats=False, drain_pits_path=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = oracle.reference_processor(elev, **kw)
+        t0 = time.perf_counter()
+        ref.calc_slopes_directions()
+        ref.calc_uca()
+        ref.calc_twi()
+        dt = time.perf_counter() - t0
+    return n * n / dt
+
+
+def _baseline(key, fn, *args, **kw):
+    """Measured-reference baselines, cached across runs."""
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    if key in cache and cache[key]:
+        return cache[key]
+    try:
+        val = fn(*args, **kw)
+    except Exception as e:
+        print("baseline %s failed: %r" % (key, e), file=sys.stderr)
+        return None
+    if val:
+        cache[key] = val
+        os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cache, f, indent=1)
+    return val
+
+
 def bench_slope_only(n):
     import jax
     import jax.numpy as jnp
@@ -122,8 +256,6 @@ def bench_slope_only(n):
     def prog(elev, dX, dY):
         mag, direction = slopes_directions(elev, dX, dY)
         flats = find_flats_edges(elev, mag, direction)
-        # scalar sync handle: eager indexing on the axon platform would cost
-        # a ~100ms tunnel round trip per rep
         return mag, direction, flats, jnp.nansum(mag)
 
     elev = jnp.asarray(make_cone(n))
@@ -140,60 +272,38 @@ def bench_slope_only(n):
     return n * n / dt, dt
 
 
-def bench_hard_terrain(n):
-    """Full DEMProcessor chain (device backends) on pit/flat-rich terrain,
-    including host orchestration and conditioning.  Steady-state: the first
-    pass warms the XLA compiles (the persistent cache cannot capture remote
-    axon-server compiles, which run 30-130s for the conditioning programs);
-    the second pass on perturbed terrain is what a production multi-tile
-    sweep pays per tile."""
-    import warnings
-
-    from pydem_tpu import DEMProcessor
-
-    def run(eps):
-        elev = make_hard_terrain(n)
-        elev[1:-1, 1:-1] += eps  # defeat result caching; keep edges/sea
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            t0 = time.perf_counter()
-            dp = DEMProcessor(elev=elev, conditioning_backend="device",
-                              pit_backend="device")
-            dp.calc_twi()
-            return time.perf_counter() - t0, dp
-
-    run(0.0)  # warm compiles
-    dt, dp = run(1e-7)
-    return n * n / dt, dt, dp
-
-
-def full_report(primary):
+def full_report(primary, hard):
     lines = ["# pydem_tpu benchmark report", "",
              "Metrics per BASELINE.json configs; one TPU v5e chip via the "
-             "axon tunnel.", ""]
+             "axon tunnel.  All vs_baseline ratios are measured against the "
+             "reference implementation on the SAME terrain (tools/oracle.py "
+             "+ its wavefront kernel rebuilt in C++ at -O3).", "",
+             "Correctness gate (blocked Pallas == XLA jacobi, values + NaN "
+             "pattern, before timing): %s" % primary["detail"]["gate"], ""]
     v, dt = bench_slope_only(N_TPU)
     lines.append("- slope/aspect only (%d²): **%.1f Mpx/s** (%.4f s)"
                  % (N_TPU, v / 1e6, dt))
     lines.append("- full chain slope+UCA+TWI (%d² cone): **%.1f Mpx/s** "
-                 "(%.4f s, %d UCA iters, vs_baseline %.1fx)"
+                 "(%.4f s/run, %d UCA rounds, vs_baseline %.1fx)"
                  % (N_TPU, primary["value"] / 1e6,
                     primary["detail"]["seconds_per_run"],
                     primary["detail"]["uca_sweeps"],
                     primary["vs_baseline"] or 0))
     if N_TPU == 2048:  # scaling point: larger canvas amortizes dispatch/RTT
-        v, dt, sweeps, _p = bench_tpu(4096)
+        v, dt, sweeps, _p, _t1 = bench_tpu(4096, reps=3)
         lines.append("- full chain (4096² cone): **%.1f Mpx/s** (%.4f s, "
                      "%d UCA rounds)" % (v / 1e6, dt, sweeps))
-    n_hard = max(512, N_TPU // 2)
-    v, dt, dp = bench_hard_terrain(n_hard)
     lines.append("- hard terrain full chain incl. conditioning (%d², "
-                 "quantized noisy cone + sea notch): **%.2f Mpx/s** (%.2f s, "
-                 "%d UCA sweeps)" % (n_hard, v / 1e6, dt,
-                                     getattr(dp, "uca_sweeps", -1)))
+                 "quantized noisy cone + sea notch): **%.2f Mpx/s** "
+                 "(%.2f s, vs reference on the same terrain: **%.1fx**)"
+                 % (hard["n"], hard["px_per_s"] / 1e6, hard["seconds"],
+                    hard["vs_baseline"] or 0))
     lines.append("")
     lines.append("Multi-chip: single chip available here; sharded-equivalence"
                  " is validated on an 8-device CPU mesh (tests/test_sharded"
-                 ".py) and via the driver's dryrun_multichip.")
+                 ".py, tests/test_manager_mesh.py), 2-process jax.distributed"
+                 " (tests/test_multihost.py), and the driver's"
+                 " dryrun_multichip (ProcessManager(mesh=...)).")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "benchmarks", "REPORT.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -203,38 +313,46 @@ def full_report(primary):
 
 
 def main():
-    value, dt, sweeps, platform = bench_tpu(N_TPU)
+    _enable_compile_cache()
 
-    baseline = None
-    try:
-        if os.path.exists(BASELINE_CACHE):
-            with open(BASELINE_CACHE) as f:
-                baseline = json.load(f)["reference_px_per_s"]
-    except Exception:
-        baseline = None
-    if baseline is None:
-        try:
-            baseline = bench_reference(N_REF)
-            if baseline:
-                os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
-                with open(BASELINE_CACHE, "w") as f:
-                    json.dump({"reference_px_per_s": baseline,
-                               "reference_n": N_REF}, f)
-        except Exception as e:
-            print("baseline measurement failed: %r" % e, file=sys.stderr)
-            baseline = None
+    gate = gate_blocked_vs_jacobi(min(N_TPU, 2048))
+    print("correctness gate: %s" % gate, file=sys.stderr)
 
+    value, dt, sweeps, platform, t_one = bench_tpu(N_TPU)
+
+    baseline = _baseline("cone_%d_px_per_s" % N_REF, bench_reference, N_REF)
     vs = (value / baseline) if baseline else None
+
+    hard_v, hard_dt, _dp = bench_hard_terrain(N_HARD)
+    hard_base = _baseline("hard_%d_px_per_s" % N_HARD, bench_reference,
+                          N_HARD, hard=True)
+    hard = {"n": N_HARD, "px_per_s": hard_v, "seconds": hard_dt,
+            "vs_baseline": (hard_v / hard_base) if hard_base else None}
+
     primary = {
         "metric": "DEM grid-points/sec/chip, full chain slope+UCA(converged)+TWI, %d^2 cone, %s" % (N_TPU, platform),
         "value": round(value),
         "unit": "px/s",
         "vs_baseline": round(vs, 2) if vs else None,
-        "detail": {"seconds_per_run": round(dt, 4), "uca_sweeps": sweeps,
-                   "reference_px_per_s": round(baseline) if baseline else None},
+        "detail": {
+            "seconds_per_run": round(dt, 4),
+            "uca_sweeps": sweeps,
+            "gate": gate,
+            "single_run_seconds_incl_sync": round(t_one, 4),
+            "reference_px_per_s": round(baseline) if baseline else None,
+            "hard_terrain": {
+                "n": N_HARD,
+                "px_per_s": round(hard_v),
+                "seconds_per_run": round(hard_dt, 3),
+                "vs_baseline_same_terrain": (round(hard["vs_baseline"], 2)
+                                             if hard["vs_baseline"] else None),
+                "reference_px_per_s": (round(hard_base) if hard_base
+                                       else None),
+            },
+        },
     }
     if "--full" in sys.argv:
-        full_report(primary)
+        full_report(primary, hard)
     print(json.dumps(primary))
 
 

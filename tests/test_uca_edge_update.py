@@ -77,3 +77,137 @@ def test_edge_update_parity():
         np.where(both_nan, 0, np.asarray(ref_final, "float64")),
         np.where(both_nan, 0, my_final), decimal=8)
     np.testing.assert_array_equal(ref2.edge_done, mine2.edge_done)
+
+
+def _fresh(elev, impl):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if impl == "ref":
+            dp = oracle.reference_processor(elev.copy(), fill_flats=False,
+                                            drain_pits_path=False)
+        else:
+            dp = DEMProcessor(elev=elev.copy(), fill_flats=False,
+                              drain_pits_path=False)
+        dp.calc_slopes_directions()
+        dp.calc_uca()
+    return dp
+
+
+def _update(elev, uca0, edge_init, impl):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if impl == "ref":
+            dp = oracle.reference_processor(elev.copy(), fill_flats=False,
+                                            drain_pits_path=False)
+        else:
+            dp = DEMProcessor(elev=elev.copy(), fill_flats=False,
+                              drain_pits_path=False)
+        dp.calc_slopes_directions()
+        out = dp.calc_uca(uca_init=uca0.copy(), edge_init_data=edge_init)
+    return np.asarray(out, "float64"), dp
+
+
+def _cmp_nan(a, b, decimal=8, msg=""):
+    a, b = np.asarray(a, "float64"), np.asarray(b, "float64")
+    assert (np.isnan(a) == np.isnan(b)).all(), "NaN pattern: " + msg
+    np.testing.assert_array_almost_equal(
+        np.nan_to_num(a), np.nan_to_num(b), decimal=decimal, err_msg=msg)
+
+
+@pytest.mark.parametrize("side", ["left", "right", "top", "bottom"])
+def test_edge_update_parity_all_orientations(side):
+    """Every edge orientation of the incremental update matches the
+    reference (dem_processing.py:682-771 setup, :778-862 propagation)."""
+    N = 32
+    cut = 14
+    elev, _a, _u = fixtures.get_test_case(31, N)
+    tiles = {
+        "left": elev[:, cut:],        # receives across its left edge
+        "right": elev[:, : cut + 1],  # ... right edge
+        "top": elev[cut:, :],
+        "bottom": elev[: cut + 1, :],
+    }
+    tile = tiles[side]
+
+    full = _fresh(elev, "ref")
+    full_uca = np.asarray(full.uca, "float64")
+    strips = {
+        "left": full_uca[:, cut], "right": full_uca[:, cut],
+        "top": full_uca[cut, :], "bottom": full_uca[cut, :],
+    }
+    strip = np.nan_to_num(strips[side])
+
+    ref = _fresh(tile, "ref")
+    mine = _fresh(tile, "mine")
+    _cmp_nan(ref.uca, mine.uca, msg="fresh uca (%s)" % side)
+
+    data, done, todo = _edge_dicts(tile.shape)
+    data[side] = strip
+    done[side][:] = True
+    todo[side][:] = np.asarray(ref.edge_todo)[{
+        "left": (slice(None), 0), "right": (slice(None), -1),
+        "top": (0, slice(None)), "bottom": (-1, slice(None))}[side]]
+
+    ref_final, ref2 = _update(tile, np.asarray(ref.uca, "float64"),
+                              [data, done, todo], "ref")
+    my_final, mine2 = _update(tile, np.asarray(mine.uca, "float64"),
+                              [data, done, todo], "mine")
+    _cmp_nan(ref_final, my_final, msg="updated uca (%s)" % side)
+    np.testing.assert_array_equal(np.asarray(ref2.edge_done),
+                                  np.asarray(mine2.edge_done),
+                                  err_msg="edge_done (%s)" % side)
+    np.testing.assert_array_equal(np.asarray(ref2.edge_todo, bool),
+                                  np.asarray(mine2.edge_todo, bool),
+                                  err_msg="edge_todo (%s)" % side)
+
+
+def test_edge_update_two_round_chained():
+    """Two chained update rounds (partial edge data first, the rest later)
+    reproduce the reference's done∧todo bookkeeping round over round —
+    the multi-round tile scheduling of process_manager.py:1221-1244."""
+    N = 32
+    cut = 14
+    elev, _a, _u = fixtures.get_test_case(31, N)
+    tile = elev[:, cut:]
+
+    full = _fresh(elev, "ref")
+    strip = np.nan_to_num(np.asarray(full.uca, "float64")[:, cut])
+
+    ref = _fresh(tile, "ref")
+    mine = _fresh(tile, "mine")
+    n = tile.shape[0]
+    half1 = np.zeros(n, bool)
+    half1[: n // 2] = True
+    todo0 = np.asarray(ref.edge_todo)[:, 0]
+
+    # round 1: only the upper half of the left edge is ready
+    data, done, todo = _edge_dicts(tile.shape)
+    data["left"] = strip * half1
+    done["left"] = half1.copy()
+    todo["left"] = todo0.copy()
+    ref1, refp1 = _update(tile, np.asarray(ref.uca, "float64"),
+                          [data, done, todo], "ref")
+    my1, minep1 = _update(tile, np.asarray(mine.uca, "float64"),
+                          [data, done, todo], "mine")
+    _cmp_nan(ref1, my1, msg="round-1 uca")
+    np.testing.assert_array_equal(np.asarray(refp1.edge_done),
+                                  np.asarray(minep1.edge_done))
+
+    # round 2: the remaining half arrives; todo shrinks to what round 1
+    # left unresolved
+    data2, done2, todo2 = _edge_dicts(tile.shape)
+    data2["left"] = strip * ~half1
+    done2["left"] = ~half1
+    todo2["left"] = np.asarray(refp1.edge_todo)[:, 0]
+    ref2o, refp2 = _update(tile, ref1, [data2, done2, todo2], "ref")
+    my2o, minep2 = _update(tile, my1, [data2, done2, todo2], "mine")
+    _cmp_nan(ref2o, my2o, msg="round-2 uca")
+    np.testing.assert_array_equal(np.asarray(refp2.edge_done),
+                                  np.asarray(minep2.edge_done))
+
+    # chained rounds must land on the full-canvas truth in the interior
+    seam = np.asarray(full.uca, "float64")[:, cut:]
+    _cmp_nan(ref2o[1:-1, 1:-1], seam[1:-1, 1:-1], decimal=8,
+             msg="ref chained vs full-canvas interior")
+    _cmp_nan(my2o[1:-1, 1:-1], seam[1:-1, 1:-1], decimal=8,
+             msg="mine chained vs full-canvas interior")
