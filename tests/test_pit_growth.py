@@ -13,6 +13,63 @@ from pydem_tpu.ops.pit_growth import connectivity_pits_device
 CASES = [13, 14, 16, 24, 25, 26, 30, 31]
 
 
+def _long_channel(n=128, drain_col=115):
+    """A pit whose min-elevation growth frontier must wander ``drain_col-4``
+    px down a narrow channel before finding a strictly-lower drain — beyond
+    the device backend's 96-px search window (ops/pit_growth.py docstring)
+    but within the reference's whole-tile search
+    (dem_processing.py:1287-1329)."""
+    elev = np.full((n, n), 10.0)
+    row, c0 = n // 2, 4
+    elev[row, c0] = 1.0  # the pit
+    ks = np.arange(1, drain_col - c0)
+    elev[row, c0 + ks] = 1.0 + 0.001 * ks  # strictly-rising channel floor
+    elev[row, drain_col] = 0.5  # the drain, below the pit
+    flats = np.zeros((n, n), bool)
+    flats[row, c0] = True
+    mag = np.zeros((n, n))
+    d = np.ones(n - 1)
+    return elev, flats, mag, d, row, c0, drain_col
+
+
+def test_window_approximation_pinned():
+    """Frontier wandering past the 96-px window: host backend drains the pit
+    exactly (reference semantics); device backend marks it undrained and
+    warns — the documented divergence, asserted not just documented."""
+    elev, flats, mag, d, row, c0, drain_col = _long_channel()
+    n = elev.shape[0]
+
+    h_src, h_dst, h_w, h_flats, h_mag = cond.connectivity_pits(
+        flats, elev, mag, d, d, max_iter=300, max_dist=300)
+    assert list(h_src) == [row * n + c0]
+    assert list(h_dst) == [row * n + drain_col]
+    np.testing.assert_allclose(h_w, [1.0])
+    assert not h_flats[row, c0]  # drained: flat cleared, slope stamped
+    assert h_mag[row, c0] > 0
+
+    with pytest.warns(UserWarning, match="1 pits had no place to drain"):
+        d_src, d_dst, d_w, d_flats, d_mag = connectivity_pits_device(
+            flats, elev, mag, d, d, max_iter=300, max_dist=300)
+    assert d_src.size == 0 and d_dst.size == 0
+    assert d_flats[row, c0]  # undrained: pit stays a flat
+    assert d_mag[row, c0] == 0
+
+
+def test_window_large_enough_matches_host():
+    """With the window widened to cover the whole canvas the device backend
+    reproduces the host result on the same wandering-frontier fixture —
+    the divergence is purely the window, nothing else."""
+    elev, flats, mag, d, row, c0, drain_col = _long_channel()
+    n = elev.shape[0]
+
+    d_src, d_dst, d_w, d_flats, d_mag = connectivity_pits_device(
+        flats, elev, mag, d, d, max_iter=300, max_dist=300, window=n)
+    assert list(d_src) == [row * n + c0]
+    assert list(d_dst) == [row * n + drain_col]
+    np.testing.assert_allclose(d_w, [1.0])
+    assert not d_flats[row, c0]
+
+
 @pytest.mark.parametrize("testnum", CASES)
 def test_device_matches_host(testnum):
     elev, _a, _u = fixtures.get_test_case(testnum, 32)
