@@ -204,39 +204,50 @@ def slopes_directions(elev, dX, dY):
 # ---------------------------------------------------------------------------
 
 def label_flood(mask, payload):
-    """Connected-component labels (8-connectivity) by min-index flood, with a
-    payload carried from the label-defining pixel.
+    """Connected-component labels (8-connectivity) by min-index flood with
+    pointer-jumping, plus a payload gathered from the label-defining pixel.
 
     Label of a region = smallest flattened index of its pixels (which is also
     the scan-order-first pixel, matching ``scipy.ndimage.label`` region
-    ordering); ``rep`` = the payload value at that pixel, propagated to the
-    whole region.  Non-region pixels get label n*m / payload NaN.  Pure 3×3
-    stencil iteration (O(region diameter) sweeps) with no gathers, so it
-    partitions cleanly under SPMD.
+    ordering); ``rep`` = the payload value at that pixel, gathered to the
+    whole region.  Non-region pixels get label n*m / payload NaN.
+
+    Each iteration hooks 8-neighbor minima (one stencil sweep) and then
+    compresses paths by shortcutting ``lbl <- lbl[lbl]`` twice: ``lbl[p]`` is
+    always the index of a pixel in p's own region (it arrived via a chain of
+    in-region neighbors), so the gather jumps toward that region's current
+    minimum.  Convergence is O(log region-diameter) iterations instead of
+    O(diameter) — the difference between ~12 and ~3000 sweeps on contour-line
+    flats of quantized real DEMs.
     """
     from .stencil import NEIGHBOR_OFFSETS
 
     n, m = mask.shape
-    big = jnp.int32(n * m)
-    idx = jnp.arange(n * m, dtype=jnp.int32).reshape(n, m)
+    N = n * m
+    big = jnp.int32(N)
+    idx = jnp.arange(N, dtype=jnp.int32).reshape(n, m)
     lbl0 = jnp.where(mask, idx, big)
-    rep0 = jnp.where(mask, payload, jnp.nan)
+
+    def jump(lbl):
+        flat = lbl.ravel()
+        # non-mask pixels hold `big`; clip for the gather, then re-mask.
+        tgt = flat[jnp.clip(flat, 0, N - 1)]
+        return jnp.where(mask, jnp.minimum(flat, tgt).reshape(n, m), big)
 
     def body(state):
-        lbl, rep, _changed = state
-        new_lbl, new_rep = lbl, rep
+        lbl, _changed = state
+        new_lbl = lbl
         for di, dj in NEIGHBOR_OFFSETS:
-            nl = shift(lbl, di, dj, big)
-            nr = shift(rep, di, dj, jnp.nan)
-            better = nl < new_lbl
-            new_lbl = jnp.where(better, nl, new_lbl)
-            new_rep = jnp.where(better, nr, new_rep)
+            new_lbl = jnp.minimum(new_lbl, shift(lbl, di, dj, big))
         new_lbl = jnp.where(mask, new_lbl, big)
-        new_rep = jnp.where(mask, new_rep, jnp.nan)
-        return new_lbl, new_rep, jnp.any(new_lbl != lbl)
+        new_lbl = jump(jump(new_lbl))
+        return new_lbl, jnp.any(new_lbl != lbl)
 
-    lbl, rep, _ = jax.lax.while_loop(
-        lambda s: s[2], body, (lbl0, rep0, jnp.asarray(True)))
+    lbl, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (lbl0, jnp.asarray(True)))
+    rep = jnp.where(mask,
+                    payload.ravel()[jnp.clip(lbl.ravel(), 0, N - 1)]
+                    .reshape(n, m), jnp.nan)
     return lbl, rep
 
 

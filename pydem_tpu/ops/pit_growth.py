@@ -185,10 +185,14 @@ def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
     K = int(link_capacity)
     cdX = np.concatenate([[0.0], np.cumsum(dX)])
     cdY = np.concatenate([[0.0], np.cumsum(dY)])
-    # fixed-size pit batches (last pit repeated as padding): the vmapped
-    # program compiles exactly once per (W, K) config, never per terrain
+    # power-of-two pit batches (last pit repeated as padding): the vmapped
+    # program compiles once per (W, K, bucket) config — O(log P) compiles
+    # total, never per terrain — while small pit sets don't pay for a full
+    # 2048-lane batch
     P = len(pits)
-    PB = 2048
+    PB = 256
+    while PB < min(P, 2048):
+        PB *= 2
     elev_d = jnp.asarray(elev)
     pits_bool_d = jnp.asarray(pits_bool)
     consts = (jnp.asarray(cdX, elev.dtype), jnp.asarray(cdY, elev.dtype),
