@@ -204,50 +204,83 @@ def slopes_directions(elev, dX, dY):
 # ---------------------------------------------------------------------------
 
 def label_flood(mask, payload):
-    """Connected-component labels (8-connectivity) by min-index flood with
-    pointer-jumping, plus a payload gathered from the label-defining pixel.
+    """Connected-component labels (8-connectivity) by min-index flood, plus
+    the payload value at the label-defining pixel carried to the whole region.
 
     Label of a region = smallest flattened index of its pixels (which is also
     the scan-order-first pixel, matching ``scipy.ndimage.label`` region
-    ordering); ``rep`` = the payload value at that pixel, gathered to the
-    whole region.  Non-region pixels get label n*m / payload NaN.
+    ordering); ``rep`` = the payload value at that pixel.  Non-region pixels
+    get label n*m / payload NaN.
 
-    Each iteration hooks 8-neighbor minima (one stencil sweep) and then
-    compresses paths by shortcutting ``lbl <- lbl[lbl]`` twice: ``lbl[p]`` is
-    always the index of a pixel in p's own region (it arrived via a chain of
-    in-region neighbors), so the gather jumps toward that region's current
-    minimum.  Convergence is O(log region-diameter) iterations instead of
-    O(diameter) — the difference between ~12 and ~3000 sweeps on contour-line
-    flats of quantized real DEMs.
+    Cost model (TPU): a full-canvas 8-shift min sweep is a cheap fused VPU
+    pass (~2.6 ms at 2048²) but moves labels one pixel; a full-canvas gather
+    is ~12x a sweep (~32 ms at 2048²) but *squares* path lengths via
+    pointer-jumping ``lbl <- lbl[lbl]``.  So each round does one stencil
+    sweep and only if that sweep changed anything pays for a double
+    pointer-jump (``lax.cond`` — skipped entirely at runtime otherwise).
+    Canvases whose flats are locally converged (most importantly: no flats
+    at all, the smooth-terrain hot path) run ONE sweep and zero gathers;
+    long contour-line flats converge in O(log diameter) rounds instead of
+    O(diameter).  The (lbl, rep) pair is carried through both propagation
+    modes, so no final payload gather is needed.
+
+    The jump invariant: ``lbl[p]`` is always the index of a pixel in p's own
+    region (it arrived via a chain of in-region neighbors) and a pixel's
+    label never exceeds its own index, so ``lbl[lbl[p]] <= lbl[p]`` and the
+    gathered ``rep`` stays consistent with the gathered label.
+
+    SPMD note: the stencil sweep partitions under GSPMD with 1-px halo
+    collectives, but the jump's gathers lower to cross-shard collective
+    gathers on a sharded canvas.  They are runtime-gated (a mesh run over
+    flat-free terrain never executes them), but flats-heavy sharded canvases
+    do pay cross-shard traffic here — this is the one non-stencil op in the
+    pipeline (see parallel/sharded.py module notes).
     """
     from .stencil import NEIGHBOR_OFFSETS
 
     n, m = mask.shape
     N = n * m
+    # int32 labels: beyond 2^31-1 pixels the clipped gathers would silently
+    # wrap — fail loudly instead (a >46k² single canvas should be tiled).
+    if N >= 2 ** 31:
+        raise ValueError("label_flood: canvas has %d pixels >= 2^31; "
+                         "int32 labels would overflow" % N)
     big = jnp.int32(N)
     idx = jnp.arange(N, dtype=jnp.int32).reshape(n, m)
     lbl0 = jnp.where(mask, idx, big)
+    rep0 = jnp.where(mask, payload, jnp.nan)
 
-    def jump(lbl):
+    def sweep(lbl, rep):
+        new_lbl, new_rep = lbl, rep
+        for di, dj in NEIGHBOR_OFFSETS:
+            nl = shift(lbl, di, dj, big)
+            nr = shift(rep, di, dj, jnp.nan)
+            better = nl < new_lbl
+            new_lbl = jnp.where(better, nl, new_lbl)
+            new_rep = jnp.where(better, nr, new_rep)
+        return (jnp.where(mask, new_lbl, big),
+                jnp.where(mask, new_rep, jnp.nan))
+
+    def jump(lbl, rep):
         flat = lbl.ravel()
-        # non-mask pixels hold `big`; clip for the gather, then re-mask.
-        tgt = flat[jnp.clip(flat, 0, N - 1)]
-        return jnp.where(mask, jnp.minimum(flat, tgt).reshape(n, m), big)
+        tgt = jnp.clip(flat, 0, N - 1)  # non-mask pixels hold `big`
+        l2 = jnp.where(mask, flat[tgt].reshape(n, m), big)
+        r2 = jnp.where(mask, rep.ravel()[tgt].reshape(n, m), jnp.nan)
+        return l2, r2
 
     def body(state):
-        lbl, _changed = state
-        new_lbl = lbl
-        for di, dj in NEIGHBOR_OFFSETS:
-            new_lbl = jnp.minimum(new_lbl, shift(lbl, di, dj, big))
-        new_lbl = jnp.where(mask, new_lbl, big)
-        new_lbl = jump(jump(new_lbl))
-        return new_lbl, jnp.any(new_lbl != lbl)
+        lbl, rep, _changed = state
+        lbl1, rep1 = sweep(lbl, rep)
+        changed = jnp.any(lbl1 != lbl)
+        lbl2, rep2 = jax.lax.cond(
+            changed,
+            lambda a: jump(*jump(*a)),
+            lambda a: a,
+            (lbl1, rep1))
+        return lbl2, rep2, changed
 
-    lbl, _ = jax.lax.while_loop(
-        lambda s: s[1], body, (lbl0, jnp.asarray(True)))
-    rep = jnp.where(mask,
-                    payload.ravel()[jnp.clip(lbl.ravel(), 0, N - 1)]
-                    .reshape(n, m), jnp.nan)
+    lbl, rep, _ = jax.lax.while_loop(
+        lambda s: s[2], body, (lbl0, rep0, jnp.asarray(True)))
     return lbl, rep
 
 

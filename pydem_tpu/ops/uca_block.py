@@ -175,33 +175,50 @@ def accumulate_blocked(base, W, B=256, inner_max=None, max_rounds=100_000,
     return x, rounds
 
 
-def _gs_kernel(xp_hbm, w_ref, base_ref, xp_out, chg_ref, x_s, x0_s, sem_in,
-               sem_out, *, B, inner_max, order):
-    """Gauss-Seidel block step: read the halo window from the LIVE (aliased)
-    canvas so blocks earlier in the grid order contribute their already-
-    relaxed values this round; relax in VMEM; write the interior back."""
+# The 4 fast-sweeping corner orders (SE, NW, SW, NE).  Orientation is a
+# STATIC block-visit-order remap, not a data flip: each block relaxes to its
+# local fixed point regardless of within-block order, so only the order in
+# which blocks observe each other's fresh values matters.  Grid step (i, j)
+# therefore processes block (nb_i-1-i, j) under a row flip etc. — no flipped
+# canvases, no per-orientation weight copies, no exploded tiles.
+_FLIPS = ((False, False), (True, True), (False, True), (True, False))
+
+
+def _gs_kernel(xp_hbm, w_hbm, base_ref, xp_out, chg_ref, x_s, w_s, x0_s,
+               sem_in, sem_w, sem_out, *, B, inner_max, nb_i, nb_j,
+               flip_i, flip_j):
+    """Gauss-Seidel block step: read the halo window of the LIVE (aliased)
+    canvas and the weight window straight from HBM, relax in VMEM until the
+    block stops changing, write the interior back.  ``flip_i/flip_j``
+    statically reverse the block visit order (the corner-sweep orientation).
+    """
     del xp_hbm  # aliased with xp_out; read the output ref for fresh values
     i = pl.program_id(0)
     j = pl.program_id(1)
+    bi = (nb_i - 1 - i) if flip_i else i
+    bj = (nb_j - 1 - j) if flip_j else j
 
     read = pltpu.make_async_copy(
-        xp_out.at[pl.ds(i * B, B + 2 * HR), pl.ds(j * B, B + 2 * HC)],
+        xp_out.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
         x_s, sem_in)
     read.start()
+    wread = pltpu.make_async_copy(
+        w_hbm.at[:, pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
+        w_s, sem_w)
+    wread.start()
     read.wait()
+    wread.wait()
     x0_s[:] = x_s[HR: HR + B, HC: HC + B]
     base = base_ref[:]
 
     def sweep():
-        # accumulate in CANONICAL neighbor order across all 4 orientations
-        # (order[c] = slot holding canonical neighbor c) so the f32 sum is
-        # bitwise orientation-invariant — otherwise the fixed point differs
-        # by ulps between orientations and rounds never go quiescent
+        # canonical neighbor order everywhere -> the f32 accumulation is
+        # bitwise identical across orientations, so the fixed point is
+        # orientation-stable and rounds go quiescent
         x = x_s[:]
-        w = w_ref[0]
+        w = w_s[:]
         acc = base
-        for k in order:
-            di, dj = NEIGHBOR_OFFSETS[k]
+        for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
             r0, c0 = HR - di, HC - dj
             acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
                          * x[r0: r0 + B, c0: c0 + B])
@@ -223,31 +240,36 @@ def _gs_kernel(xp_hbm, w_ref, base_ref, xp_out, chg_ref, x_s, x0_s, sem_in,
 
     write = pltpu.make_async_copy(
         x_s.at[pl.ds(HR, B), pl.ds(HC, B)],
-        xp_out.at[pl.ds(i * B + HR, B), pl.ds(j * B + HC, B)],
+        xp_out.at[pl.ds(bi * B + HR, B), pl.ds(bj * B + HC, B)],
         sem_out)
     write.start()
     write.wait()
-    chg_ref[i, j] = jnp.any(
+    chg_ref[bi, bj] = jnp.any(
         x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
 
 
-def _gs_round(xp, w_tiles, base, *, B, inner_max, interpret,
-              order=tuple(range(8))):
+def _gs_round(xp, w_pad, base, *, B, inner_max, interpret,
+              flips=(False, False)):
     """One Gauss-Seidel round over the padded canvas (updated in place via
-    aliasing).  Returns (new padded canvas, per-block changed flags)."""
+    aliasing) at the statically-flipped block order.  Returns
+    (new padded canvas, per-block changed flags)."""
     np_, mp_ = xp.shape
     n, m = np_ - 2 * HR, mp_ - 2 * HC
     nb_i, nb_j = n // B, m // B
+    fi, fj = flips
     kernel = functools.partial(_gs_kernel, B=B, inner_max=inner_max,
-                               order=order)
+                               nb_i=nb_i, nb_j=nb_j, flip_i=fi, flip_j=fj)
+
+    def base_idx(i, j):
+        return ((nb_i - 1 - i) if fi else i, (nb_j - 1 - j) if fj else j)
+
     xp_new, changed = pl.pallas_call(
         kernel,
         grid=(nb_i, nb_j),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # live canvas (aliased)
-            pl.BlockSpec((1, 8, B + 2 * HR, B + 2 * HC),
-                         lambda i, j: (i * pl.num_programs(1) + j, 0, 0, 0)),
-            pl.BlockSpec((B, B), lambda i, j: (i, j)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded weights
+            pl.BlockSpec((B, B), base_idx),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -260,7 +282,9 @@ def _gs_round(xp, w_tiles, base, *, B, inner_max, interpret,
         ],
         scratch_shapes=[
             pltpu.VMEM((B + 2 * HR, B + 2 * HC), xp.dtype),
+            pltpu.VMEM((8, B + 2 * HR, B + 2 * HC), xp.dtype),
             pltpu.VMEM((B, B), xp.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -268,63 +292,26 @@ def _gs_round(xp, w_tiles, base, *, B, inner_max, interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(xp, w_tiles, base)
+    )(xp, w_pad, base)
     return xp_new, changed
 
 
-# Orientation flips for the 4 corner sweep orders (SE, NW, SW, NE): under a
-# row flip an edge offset (di, dj) becomes (-di, dj), so weight plane k maps
-# to the plane of the sign-flipped offset.
-_FLIPS = ((False, False), (True, True), (False, True), (True, False))
-
-
-def _plane_perm(flip_i, flip_j):
-    perm = []
-    for (di, dj) in NEIGHBOR_OFFSETS:
-        di2 = -di if flip_i else di
-        dj2 = -dj if flip_j else dj
-        perm.append(NEIGHBOR_OFFSETS.index((di2, dj2)))
-    return tuple(perm)
-
-
-def _flip2(a, flip_i, flip_j):
-    if flip_i:
-        a = a[..., ::-1, :]
-    if flip_j:
-        a = a[..., :, ::-1]
-    return a
-
-
-def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret,
-                      tiles_o=None):
+def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret):
     """One Gauss-Seidel round at orientation ``o`` (0..3, traced) over the
     (HR, HC)-padded canvas ``xp``.  ``w_pad`` is the (HR, HC)-padded weight
-    tensor in canonical orientation; ``tiles_o`` optionally supplies the 4
-    pre-exploded orientation tile tensors.  Returns (new xp, changed count).
+    tensor; orientation selects one of 4 statically-compiled block-visit
+    orders (lax.switch), touching no data.  Returns (new xp, changed count).
 
     The pad ring of ``xp`` is treated as frozen inflow: zeros for a lone
     canvas, or neighbor-shard halo values written there by a sharded caller
     (parallel.sharded.accumulate_sharded).
     """
-    np_, mp_ = xp.shape
-    n, m = np_ - 2 * HR, mp_ - 2 * HC
-    nb_i, nb_j = n // B, m // B
-
     def mk(i):
         def run(ops):
             xp, b_eff = ops
-            fi, fj = _FLIPS[i]
-            xf = _flip2(xp, fi, fj)
-            bf = _flip2(b_eff, fi, fj)
-            if tiles_o is not None:
-                tiles = tiles_o[i]
-            else:
-                Wf = _flip2(w_pad, fi, fj)[jnp.array(_plane_perm(fi, fj))]
-                tiles = _explode(Wf, nb_i, nb_j, B, planes=8)
-            # slot holding canonical neighbor c is perm[c] (involution)
-            xf, chg = _gs_round(xf, tiles, bf, B=B, inner_max=inner_max,
-                                interpret=interpret, order=_plane_perm(fi, fj))
-            return _flip2(xf, fi, fj), jnp.sum(chg)
+            xp, chg = _gs_round(xp, w_pad, b_eff, B=B, inner_max=inner_max,
+                                interpret=interpret, flips=_FLIPS[i])
+            return xp, jnp.sum(chg)
         return run
     return jax.lax.switch(o, [mk(i) for i in range(4)], (xp, base))
 
@@ -332,36 +319,21 @@ def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret,
 def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
     """Shared Gauss-Seidel round driver.
 
-    ``fold(x) -> effective base`` is re-evaluated (in canonical orientation)
-    at the start of every round — used to inject the non-adjacent pit-link
-    contributions.  With fold-before-relax, the per-block changed flags are a
-    sound convergence test: an unchanged round implies an unchanged fold.
+    ``fold(x) -> effective base`` is re-evaluated at the start of every
+    round — used to inject the non-adjacent pit-link contributions.  With
+    fold-before-relax, the per-block changed flags are a sound convergence
+    test: an unchanged round implies an unchanged fold.
     """
     n, m = base.shape
     assert n % B == 0 and m % B == 0, "canvas must be padded to block size"
     if inner_max is None:
         inner_max = 2 * B + 4
-    nb_i, nb_j = n // B, m // B
 
     w_pad = jnp.pad(W, ((0, 0), (HR, HR), (HC, HC)))
 
-    def build_tiles(i):
-        fi, fj = _FLIPS[i]
-        Wf = _flip2(w_pad, fi, fj)[jnp.array(_plane_perm(fi, fj)), :, :]
-        return _explode(Wf, nb_i, nb_j, B, planes=8)
-
-    # Pre-exploding all 4 orientations costs ~4 x 2.1 x sizeof(W) of HBM
-    # (17 GB at 8192² f32 — beyond one v5e).  Above a budget, build each
-    # orientation's tiles inside its round instead (~1 extra W-sized
-    # gather per round, <1 ms at 2048²).
-    tile_bytes = nb_i * nb_j * 8 * (B + 2 * HR) * (B + 2 * HC) * base.dtype.itemsize
-    precompute = 4 * tile_bytes <= 6e9
-    tiles_o = [build_tiles(i) for i in range(4)] if precompute else None
-
     def one_round(o, xp, b_eff):
         return gs_round_oriented(xp, w_pad, b_eff, o, B=B,
-                                 inner_max=inner_max, interpret=interpret,
-                                 tiles_o=tiles_o)
+                                 inner_max=inner_max, interpret=interpret)
 
     def interior(xp):
         return xp[HR: HR + n, HC: HC + m]
@@ -393,8 +365,9 @@ def accumulate_blocked_gs(base, W, B=256, inner_max=None, max_rounds=100_000,
 
     Each round processes blocks in grid order reading the *live* canvas, so
     flow aligned with the sweep order crosses the whole canvas in one round;
-    rounds cycle through the 4 corner orders (by flipping the canvas and the
-    weight planes), the fast-sweeping pattern for flow accumulation.  Rounds
+    rounds cycle through the 4 corner orders (statically-remapped block visit
+    orders — no data movement), the fast-sweeping pattern for flow
+    accumulation.  Rounds
     scale with the number of flow-direction reversals at block granularity
     instead of canvas-length/B — on large canvases this is the difference
     between ~4-8 rounds and ~n/B rounds.  Same fixed point as plain

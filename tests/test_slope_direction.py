@@ -87,3 +87,60 @@ def test_orientations(name, elev, mag, ang, uca):
     # transpose-reverse
     slc = (slice(None, None, -1), slice(None, None, -1))
     _check(elev[slc].T, mag[slc].T, None, uca[slc].T, check_ang=False)
+
+
+# ---------------------------------------------------------------------------
+# label_flood (the core labeling primitive behind find_flats_edges)
+# ---------------------------------------------------------------------------
+
+def _flood_vs_scipy(mask):
+    """label_flood's (min-flat-index label, payload-at-label) must agree with
+    scipy.ndimage.label + per-region reductions."""
+    import jax.numpy as jnp
+    from scipy import ndimage as ndi
+
+    from pydem_tpu.core.slope_direction import label_flood
+
+    n, m = mask.shape
+    payload = np.arange(n * m, dtype="float64").reshape(n, m) * 1.7 + 3.0
+
+    lbl, rep = label_flood(jnp.asarray(mask), jnp.asarray(payload))
+    lbl, rep = np.asarray(lbl), np.asarray(rep)
+
+    slabels, nreg = ndi.label(mask, structure=np.ones((3, 3), bool))
+    exp_lbl = np.full(mask.shape, n * m, "int64")
+    exp_rep = np.full(mask.shape, np.nan)
+    flat_idx = np.arange(n * m).reshape(n, m)
+    for r in range(1, nreg + 1):
+        sel = slabels == r
+        first = flat_idx[sel].min()
+        exp_lbl[sel] = first
+        exp_rep[sel] = payload.ravel()[first]
+    np.testing.assert_array_equal(lbl, exp_lbl)
+    np.testing.assert_array_equal(np.isnan(rep), np.isnan(exp_rep))
+    np.testing.assert_array_almost_equal(np.nan_to_num(rep),
+                                         np.nan_to_num(exp_rep))
+
+
+@pytest.mark.parametrize("seed,p", [(0, 0.3), (1, 0.5), (2, 0.7)])
+def test_label_flood_random(seed, p):
+    rng = np.random.RandomState(seed)
+    _flood_vs_scipy(rng.rand(40, 37) < p)
+
+
+def test_label_flood_snake():
+    """A single serpentine region whose path length is ~n²/2 — the case that
+    stresses the pointer-jump compression (O(diameter) stencil sweeps would
+    need ~800 iterations here)."""
+    n = 41
+    mask = np.zeros((n, n), bool)
+    for r in range(0, n, 2):
+        mask[r, :] = True
+    for k, r in enumerate(range(1, n, 2)):
+        mask[r, -1 if k % 2 == 0 else 0] = True
+    _flood_vs_scipy(mask)
+
+
+def test_label_flood_empty_and_full():
+    _flood_vs_scipy(np.zeros((16, 16), bool))
+    _flood_vs_scipy(np.ones((16, 16), bool))
