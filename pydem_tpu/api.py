@@ -25,7 +25,7 @@ from .core.receivers import receiver_weights, section_proportion
 from .core.slope_direction import find_flats_edges, slopes_directions
 from .core.uca import (accumulate, accumulate_update, base_area, finalize_uca,
                        grid_edge_mask, reachability, seeds_and_edge_todo)
-from .io.geotiff import read_geotiff_kwargs
+from .io.raw import read_raster_kwargs
 
 FLAT_ID_INT = -1
 
@@ -54,18 +54,32 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
     W = receiver_weights(section, proportion, elev)
     base = base_area(dX2, dY2, elev.shape, elev.dtype)
     min_area = jnp.nanmin(base)
-    if not has_pits:
-        pit_src = pit_dst = pit_w = None
+    area, n_sweeps = _solve_uca(base, W, elev.shape,
+                                pit_src if has_pits else None,
+                                pit_dst if has_pits else None,
+                                pit_w if has_pits else None,
+                                max_iters, check_every, solver, block_size,
+                                interpret)
+    area = finalize_uca(area, flats2)
+    edge_todo = seeds_and_edge_todo(W, section, elev)
+    return area, n_sweeps, min_area, edge_todo
+
+
+def _solve_uca(base, W, shape, pit_src, pit_dst, pit_w, max_iters,
+               check_every, solver, block_size, interpret):
+    """Shared solver dispatch (inside jit): jacobi global sweeps or Pallas
+    blocked Gauss-Seidel (canvas zero-padded to the block grid — exact,
+    since pad pixels carry no weight and no base area)."""
     if solver == "blocked":
         from .ops.uca_block import (accumulate_blocked_gs,
                                     accumulate_blocked_pits_gs)
 
-        n, m = elev.shape
+        n, m = shape
         B = block_size or (256 if min(n, m) >= 256 else 128)
         pn, pm = (-n) % B, (-m) % B
         base_p = jnp.pad(base, ((0, pn), (0, pm)))
         W_p = jnp.pad(W, ((0, 0), (0, pn), (0, pm)))
-        if has_pits:
+        if pit_src is not None:
             # remap flat indices into the padded canvas
             src_i, src_j = pit_src // m, pit_src % m
             dst_i, dst_j = pit_dst // m, pit_dst % m
@@ -76,14 +90,66 @@ def _uca_program(elev, section, proportion, flats2, dX2, dY2,
         else:
             area, n_sweeps = accumulate_blocked_gs(base_p, W_p, B=B,
                                                    interpret=interpret)
-        area = area[:n, :m]
-    else:
-        area, n_sweeps = accumulate(base, W, pit_src, pit_dst, pit_w,
-                                    max_iters=max_iters,
-                                    check_every=check_every)
-    area = finalize_uca(area, flats2)
+        return area[:n, :m], n_sweeps
+    return accumulate(base, W, pit_src, pit_dst, pit_w,
+                      max_iters=max_iters, check_every=check_every)
+
+
+@jax.jit
+def _pre_program(elev, dX, dY):
+    """slope/direction + flats + section/proportion as ONE device program —
+    the device-resident analog of _slope_program + _section_program with no
+    host round trip between them."""
+    mag, direction = slopes_directions(elev, dX, dY)
+    flats = find_flats_edges(elev, mag, direction)
+    direction = jnp.where(flats, FLAT_ID_INT, direction)
+    mag = jnp.where(flats, FLAT_ID_INT, mag)
+    section, proportion = section_proportion(direction, flats, dX, dY)
+    return mag, direction, flats, section, proportion
+
+
+@partial(jax.jit, static_argnames=("has_pits", "has_drained", "max_iters",
+                                   "check_every", "solver", "block_size",
+                                   "interpret"))
+def _uca_chain_program(elev, section, proportion, flats, mag, dX2, dY2,
+                       pit_src, pit_dst, pit_w, drained_idx, drained_mag,
+                       has_pits, has_drained, max_iters, check_every,
+                       solver="jacobi", block_size=None, interpret=False):
+    """Device-resident UCA stage: applies the pit-link flats/mag updates on
+    device (the host mutations of connectivity_pits,
+    dem_processing.py:1360-1371), then solves the accumulation fixed point.
+    Everything stays on device; only scalars and the small link triples
+    crossed the host boundary."""
+    if has_drained:
+        flats = flats.ravel().at[drained_idx].set(False).reshape(flats.shape)
+        mag = (mag.ravel().at[drained_idx]
+               .set(drained_mag.astype(mag.dtype)).reshape(mag.shape))
+    W = receiver_weights(section, proportion, elev)
+    base = base_area(dX2, dY2, elev.shape, elev.dtype)
+    min_area = jnp.nanmin(base)
+    area, n_sweeps = _solve_uca(base, W, elev.shape,
+                                pit_src if has_pits else None,
+                                pit_dst if has_pits else None,
+                                pit_w if has_pits else None,
+                                max_iters, check_every, solver, block_size,
+                                interpret)
+    area = finalize_uca(area, flats)
     edge_todo = seeds_and_edge_todo(W, section, elev)
-    return area, n_sweeps, min_area, edge_todo
+    return area, n_sweeps, min_area, edge_todo, flats, mag
+
+
+@partial(jax.jit, static_argnames=("on_uca", "limits"))
+def _twi_program(uca, mag, min_area, min_slope, sat_limit, on_uca, limits):
+    """TWI on device (dem_processing.py:1647-1677 semantics, x10 stored)."""
+    twi = uca
+    if on_uca:
+        cap = sat_limit * min_area
+        twi = jnp.minimum(twi, cap)
+    twi = jnp.log(twi / (mag + min_slope))
+    if limits:
+        sat = jnp.log(sat_limit * min_area / min_slope)
+        twi = jnp.minimum(twi, sat)
+    return twi * 10
 
 
 @partial(jax.jit, static_argnames=("has_pits",))
@@ -103,6 +169,38 @@ def _edge_flood_program(elev, section, proportion, edge_todo,
     return reachability(edge_todo, W)
 
 
+class _Field:
+    """State array that can live host-side (numpy) or device-side (jax).
+
+    The reference exposes every state array as numpy
+    (dem_processing.py:98-154); on a remote-attached TPU each host↔device
+    crossing costs ~0.1 s of tunnel latency, so the device-backend fast path
+    keeps intermediates device-resident and this descriptor materializes the
+    numpy view lazily on first attribute read (then caches it).  Plain
+    assignments behave exactly like before (host array, device copy
+    dropped)."""
+
+    def __set_name__(self, owner, name):
+        self.name = name
+        self._np = "_np_" + name
+        self._dev = "_dev_" + name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        val = obj.__dict__.get(self._np)
+        if val is None:
+            dev = obj.__dict__.get(self._dev)
+            if dev is not None:
+                val = np.asarray(dev)
+                obj.__dict__[self._np] = val
+        return val
+
+    def __set__(self, obj, value):
+        obj.__dict__[self._np] = value
+        obj.__dict__[self._dev] = None
+
+
 def _pad_pits(pit_src, pit_dst, pit_w):
     """Pad pit-link triples to a power-of-two bucket so the jitted UCA
     program recompiles O(log P) times, not once per pit count.  Padding
@@ -119,6 +217,18 @@ def _pad_pits(pit_src, pit_dst, pit_w):
 
 class DEMProcessor:
     """Compute D∞ slope/aspect, UCA, and TWI for one elevation raster."""
+
+    # state arrays: numpy-facing, lazily fetched from device when the
+    # device-resident fast path produced them (see _Field)
+    elev = _Field()
+    mag = _Field()
+    direction = _Field()
+    flats = _Field()
+    section = _Field()
+    proportion = _Field()
+    uca = _Field()
+    twi = _Field()
+    edge_todo = _Field()
 
     # conditioning tunables (dem_processing.py:105-127 defaults)
     fill_flats = True
@@ -176,6 +286,27 @@ class DEMProcessor:
         "uca_block_size",
     ]
 
+    def _dev(self, name):
+        return self.__dict__.get("_dev_" + name)
+
+    def _set_dev(self, name, val):
+        self.__dict__["_dev_" + name] = val
+        self.__dict__["_np_" + name] = None
+
+    def _has(self, name):
+        """Whether the field is populated, without triggering a fetch."""
+        return (self.__dict__.get("_np_" + name) is not None
+                or self.__dict__.get("_dev_" + name) is not None)
+
+    @property
+    def _fast_device(self):
+        """The device-resident fast path applies when both conditioning and
+        pit backends are on-device and the default drain-pits mode is in
+        effect (mode precedence of dem_processing.py:1094-1124)."""
+        return (self.conditioning_backend == "device"
+                and self.pit_backend == "device"
+                and self.drain_pits)
+
     def _connectivity_pits(self):
         if self.pit_backend == "device":
             from .ops.pit_growth import connectivity_pits_device as fn
@@ -209,7 +340,7 @@ class DEMProcessor:
 
     def __init__(self, elev_fn=None, **kwargs):
         if elev_fn:
-            kwds = read_geotiff_kwargs(elev_fn)
+            kwds = read_raster_kwargs(elev_fn)
             kwds.update(kwargs)
             kwargs = kwds
 
@@ -351,6 +482,10 @@ class DEMProcessor:
     # -- slope / direction -------------------------------------------------
 
     def calc_slopes_directions(self):
+        if self._fast_device:
+            self._slopes_device()
+            return self.mag, self.direction
+
         if self.fill_flats:
             self.calc_fill_flats()
         if self.drain_pits_path:
@@ -364,12 +499,117 @@ class DEMProcessor:
         self.flats = np.asarray(flats)
         return self.mag, self.direction
 
+    # -- device-resident fast path ----------------------------------------
+    #
+    # With conditioning_backend=pit_backend="device" the whole chain runs as
+    # three device programs (fill-flats, slope+section, UCA+updates) with
+    # exactly two unavoidable host crossings: the serial pit-path carver
+    # (C++ on host elevation) and the small pit-link triples.  State arrays
+    # stay device-resident; the numpy attributes materialize lazily
+    # (_Field).  On a remote-attached chip this removes ~6 canvas-sized
+    # tunnel round trips per tile.
+
+    def _slopes_device(self):
+        """Condition + slope/direction/flats/section on device."""
+        elev_d = jnp.asarray(self.elev)
+        if self.fill_flats:
+            from .core.flats_device import fill_flats_device
+
+            elev_d = fill_flats_device(
+                elev_d,
+                source_tol=self.fill_flats_source_tol,
+                fill_peaks=self.fill_flats_peaks,
+                fill_pits=self.fill_flats_pits,
+                below_sea=self.fill_flats_below_sea,
+                maximum_pit_area=self.maximum_pit_area,
+            )
+        if self.drain_pits_path:
+            elev_np = cond.drain_pit_paths(
+                np.asarray(elev_d), self.dX, self.dY,
+                max_iter=self.drain_pits_max_iter,
+                max_dist=self.drain_pits_max_dist,
+                max_dist_XY=self.drain_pits_max_dist_XY,
+                below_sea=self.fill_flats_below_sea,
+            )
+            elev_d = jnp.asarray(elev_np)
+            self.__dict__["_np_elev"] = elev_np
+            self.__dict__["_dev_elev"] = elev_d
+        else:
+            self._set_dev("elev", elev_d)
+
+        mag, direction, flats, section, proportion = _pre_program(
+            elev_d, jnp.asarray(self.dX), jnp.asarray(self.dY))
+        for k, v in (("mag", mag), ("direction", direction),
+                     ("flats", flats), ("section", section),
+                     ("proportion", proportion)):
+            self._set_dev(k, v)
+
+    def _calc_uca_device(self, fetch=True):
+        from .ops.pit_growth import pit_links_device
+
+        if self._dev("section") is None:
+            self._slopes_device()
+        elev_d = self._dev("elev")
+        if elev_d is None:
+            elev_d = jnp.asarray(self.elev)
+
+        src, dst, wgt, drained_idx, drained_mag = pit_links_device(
+            self._dev("flats"), elev_d, self.dX, self.dY,
+            max_iter=self.drain_pits_max_iter,
+            max_dist=self.drain_pits_max_dist,
+            max_dist_XY=self.drain_pits_max_dist_XY,
+            min_border=self.drain_pits_min_border)
+        keep = wgt > 1e-8  # adjacency pruning, dem_processing.py:1136
+        src, dst, wgt = src[keep], dst[keep], wgt[keep]
+        has_pits = src.size > 0
+        src, dst, wgt = _pad_pits(src, dst, wgt)
+        has_drained = drained_idx.size > 0
+        if has_drained:  # pad to a power-of-two bucket (recompile control);
+            # repeating real entries is idempotent for the set-scatters
+            cap = 1
+            while cap < drained_idx.size:
+                cap *= 2
+            rep = cap - drained_idx.size
+            drained_idx = np.concatenate(
+                [drained_idx, np.repeat(drained_idx[-1:], rep)])
+            drained_mag = np.concatenate(
+                [drained_mag, np.repeat(drained_mag[-1:], rep)])
+
+        area, n_sweeps, min_area, edge_todo, flats2, mag2 = \
+            _uca_chain_program(
+                elev_d, self._dev("section"), self._dev("proportion"),
+                self._dev("flats"), self._dev("mag"),
+                jnp.asarray(self.dX2), jnp.asarray(self.dY2),
+                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(wgt),
+                jnp.asarray(drained_idx), jnp.asarray(drained_mag),
+                has_pits, has_drained, self.uca_max_iters,
+                self.uca_check_every, solver=self.uca_solver,
+                block_size=self.uca_block_size,
+                interpret=jax.devices()[0].platform != "tpu")
+        self.uca_sweeps = int(n_sweeps)
+        self.twi_min_area = min(self.twi_min_area, float(min_area))
+        self._set_dev("uca", area)
+        self._set_dev("mag", mag2)
+        self._set_dev("flats", flats2)
+        self._set_dev("edge_todo", edge_todo)
+        self._edge_done = None
+        self._edge_flood_args = (self._dev("section"),
+                                 self._dev("proportion"),
+                                 (jnp.asarray(src), jnp.asarray(dst),
+                                  jnp.asarray(wgt)),
+                                 has_pits, float(min_area))
+        return self.uca if fetch else None
+
     def find_flats(self):
         self.flats = self.mag == FLAT_ID_INT
 
     # -- UCA ---------------------------------------------------------------
 
     def calc_uca(self, plotflag=False, edge_init_data=None, uca_init=None):
+        if (uca_init is None and self._fast_device
+                and (not self._has("direction")
+                     or self._dev("section") is not None)):
+            return self._calc_uca_device()
         if self.direction is None:
             self.calc_slopes_directions()
         if uca_init is not None:
@@ -550,8 +790,29 @@ class DEMProcessor:
     # -- TWI ---------------------------------------------------------------
 
     def calc_twi(self):
-        if self.uca is None:
-            self.calc_uca()
+        if not self._has("uca"):
+            if (self._fast_device and (not self._has("direction")
+                                       or self._dev("section") is not None)):
+                self._calc_uca_device(fetch=False)
+            else:
+                self.calc_uca()
+        if (self._dev("uca") is not None and self._dev("mag") is not None
+                and self.__dict__.get("_np_uca") is None
+                and self.__dict__.get("_np_mag") is None):
+            # device-resident TWI: uca/mag never leave the chip.  Only taken
+            # while the numpy views were never materialized — a fetched
+            # numpy array may have been mutated in place, in which case the
+            # host formula below (operating on the live numpy state) is the
+            # source of truth.
+            uca_d, mag_d = self._dev("uca"), self._dev("mag")
+            twi10 = _twi_program(
+                uca_d, mag_d,
+                jnp.asarray(self.twi_min_area, uca_d.dtype),
+                jnp.asarray(self.twi_min_slope, uca_d.dtype),
+                jnp.asarray(self.uca_saturation_limit, uca_d.dtype),
+                self.apply_twi_limits_on_uca, self.apply_twi_limits)
+            self._set_dev("twi", twi10)
+            return np.asarray(twi10) / 10
         min_area = self.twi_min_area
         min_slope = self.twi_min_slope
         twi = self.uca.copy()

@@ -202,38 +202,35 @@ def case_sea_of_saw(x, y):
 
 
 def spiral(x, y):
+    """Double-armed inward spiral channel carved into a rounded pyramid.
+
+    A turtle walks the canvas between two corners of a shrinking active
+    window — axis 0 first, then axis 1, reversing (and pulling the corner
+    behind it inward by 2) each time it lands on the target corner — and
+    writes ascending elevations along half the canvas.  Output is
+    bit-identical to the reference fixture's spiral state machine
+    (utils_test_pydem.py:315-356), verified element-wise over sizes 4..70
+    and non-square canvases; only the formulation differs.
+    """
     n, m = x.shape
     raster = _ma((1.0 - np.maximum(np.abs(x), np.abs(y)) ** 2)
                  * (n * m) / 2 + (n + m) * 2)
-    start = [0, 1]
-    stop = [n - 2, m - 2]
-    i, j = start
-    start = [-1, 1]
-    elev = 0
-    count = 0
-    sgn = [1, 1]
-    while count < n * m / 2:
-        count += 1
-        raster[i, j] = elev
-        elev += 1
-        if i < stop[0] and sgn[0] > 0:
-            i += 1
-        elif j < stop[1] and sgn[1] > 0:
-            j += 1
-        elif i == stop[0] and j == stop[1] and sgn[1] > 0:
-            start[0] += 2
-            start[1] += 2
-            sgn = [-1, -1]
-            i -= 1
-        elif i > start[0] and sgn[0] < 0:
-            i -= 1
-        elif j > start[1] and sgn[1] < 0:
-            j -= 1
-        elif i == start[0] and j == start[1] and sgn[1] < 0:
-            stop[0] -= 2
-            stop[1] -= 2
-            sgn = [1, 1]
-            i += 1
+    lo = np.array([-1, 1])         # active window: exclusive low corner,
+    hi = np.array([n - 2, m - 2])  # inclusive high corner
+    pos = np.array([0, 1])
+    inward = True                  # toward hi corner, else toward lo
+    for elev in range(int(n * m / 2)):
+        raster[pos[0], pos[1]] = elev
+        tgt = hi if inward else lo
+        step = 1 if inward else -1
+        if (pos[0] - tgt[0]) * step < 0:
+            pos[0] += step         # run along axis 0 first
+        elif (pos[1] - tgt[1]) * step < 0:
+            pos[1] += step         # then along axis 1
+        elif (pos == tgt).all():   # landed on the corner: reverse
+            (lo if inward else hi)[:] += 2 * step  # shrink behind us
+            inward = not inward
+            pos[0] -= step
         else:
             break
     return raster, raster * 0

@@ -33,6 +33,8 @@ ELLIPSOIDS = {
     "Airy-(1830)": (6377563.396, 6356256.909),
     "Intl-1924": (6378388.0, 6356911.946),
     "Clarke-(1880)": (6378249.145, 6356514.870),
+    "Clarke-(1866)": (6378206.4, 6356583.8),
+    "WGS-72": (6378135.0, 6356750.520016),
 }
 
 

@@ -37,6 +37,51 @@ T_PIXEL_SCALE, T_TIEPOINT = 33550, 33922
 T_GEO_KEYS, T_GEO_DOUBLES, T_GEO_ASCII = 34735, 34736, 34737
 T_GDAL_NODATA = 42113
 
+# Geographic-CS (geokey 2048) and ellipsoid (geokey 2056) EPSG codes →
+# geometry.ELLIPSOIDS names.  The reference picks the geodesic ellipsoid
+# from the raster CRS WKT's SPHEROID/ELLIPSOID name (utils.py:139-151);
+# a from-scratch GeoTIFF parser sees EPSG codes instead, so the mapping is
+# by code.  Unlisted codes fall back to WGS-84 with a warning.
+_GCS_ELLIPSOID = {
+    4326: "WGS-84", 4322: "WGS-72", 4269: "GRS-80", 4258: "GRS-80",
+    4283: "GRS-80", 4617: "GRS-80", 4277: "Airy-(1830)",
+    4230: "Intl-1924", 4267: "Clarke-(1866)", 4222: "Clarke-(1880)",
+}
+_ELLIPSOID_CODE = {
+    7030: "WGS-84", 7019: "GRS-80", 7001: "Airy-(1830)",
+    7022: "Intl-1924", 7008: "Clarke-(1866)", 7012: "Clarke-(1880)",
+    7034: "Clarke-(1880)", 7043: "WGS-72",
+}
+
+
+def _ellipsoid_from_geokeys(geo_keys):
+    """Geodesic ellipsoid name from parsed geokeys (dict key → value).
+
+    Precedence: explicit GeogEllipsoidGeoKey (2056), then the geographic CS
+    code (2048).  Unknown codes warn and fall back to WGS-84 — the silent
+    default the reference only reaches when the WKT has no SPHEROID entry."""
+    import warnings
+
+    from ..geometry import ELLIPSOIDS
+
+    code = geo_keys.get(2056)
+    if code is not None:
+        name = _ELLIPSOID_CODE.get(code)
+        if name in ELLIPSOIDS:
+            return name
+        if code != 32767:  # user-defined sentinel: fall through to the GCS
+            warnings.warn("Unknown GeoTIFF ellipsoid code %r; assuming "
+                          "WGS-84 pixel scales" % (code,))
+            return "WGS-84"
+    code = geo_keys.get(2048)
+    if code is not None:
+        name = _GCS_ELLIPSOID.get(code)
+        if name in ELLIPSOIDS:
+            return name
+        warnings.warn("Unknown geographic CS code %r; assuming WGS-84 "
+                      "pixel scales" % (code,))
+    return "WGS-84"
+
 
 class GeoTiff:
     """Parsed single-band GeoTIFF."""
@@ -284,18 +329,22 @@ def read_geotiff(fn, header_only=False, ifd_index=0):
         x, y = tp[3], tp[4]
         transform = (sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
 
-    # geokeys: model type + geographic CS code
+    # geokeys: model type + CS code + geodesic ellipsoid
     crs_code = 4326
     projected = False
+    geo_keys = {}
     gk = tags.get(T_GEO_KEYS)
     if gk:
         nkeys = gk[3]
         for k in range(nkeys):
             key, loc, cnt_, val = gk[4 + 4 * k: 8 + 4 * k]
-            if key == 1024:  # GTModelTypeGeoKey: 1=projected, 2=geographic
-                projected = val == 1
-            elif key in (2048, 3072) and loc == 0:
-                crs_code = val
+            if loc == 0:
+                geo_keys[key] = val
+        projected = geo_keys.get(1024) == 1
+        crs_code = geo_keys.get(3072 if projected else 2048, crs_code)
+    # projected rasters use constant pixel scales; the ellipsoid only
+    # matters (and only then can meaningfully warn) for geographic ones
+    ellipsoid = "WGS-84" if projected else _ellipsoid_from_geokeys(geo_keys)
 
     nodata = None
     if T_GDAL_NODATA in tags:
@@ -305,12 +354,18 @@ def read_geotiff(fn, header_only=False, ifd_index=0):
             pass
 
     return GeoTiff(out, transform, crs_code=crs_code, nodata=nodata,
-                   projected=projected, shape=(height, width))
+                   projected=projected, ellipsoid=ellipsoid,
+                   shape=(height, width))
 
 
 def write_geotiff(fn, data, transform, crs_code=4326, nodata=None,
-                  compress=False):
-    """Write a single-band striped (Geo)TIFF."""
+                  compress=False, projected=False):
+    """Write a single-band striped (Geo)TIFF.
+
+    ``projected=True`` writes a projected-CRS key directory
+    (ProjectedCSTypeGeoKey = ``crs_code``, linear meters) instead of the
+    geographic one, so projected inputs re-export with their CRS intact —
+    the rasterio profile pass-through of the reference (utils.py:61-79)."""
     data = np.ascontiguousarray(data)
     height, width = data.shape
     dt = data.dtype
@@ -326,12 +381,20 @@ def write_geotiff(fn, data, transform, crs_code=4326, nodata=None,
     a, b, c, d_, e, f = transform
     pixel_scale = (a, -e, 0.0)
     tiepoint = (0.0, 0.0, 0.0, c, f, 0.0)
-    # minimal geographic WGS84 key directory (matches GDAL's EPSG:4326 output)
-    geokeys = [1, 1, 0, 4,
-               1024, 0, 1, 2,     # model type: geographic
-               1025, 0, 1, 1,     # raster type: pixel-is-area
-               2048, 0, 1, int(crs_code),  # geographic CS
-               2054, 0, 1, 9102]  # angular unit: degree
+    if projected:
+        # minimal projected key directory (matches GDAL's EPSG:<code> output)
+        geokeys = [1, 1, 0, 4,
+                   1024, 0, 1, 1,     # model type: projected
+                   1025, 0, 1, 1,     # raster type: pixel-is-area
+                   3072, 0, 1, int(crs_code),  # projected CS
+                   3076, 0, 1, 9001]  # linear unit: metre
+    else:
+        # minimal geographic key directory (matches GDAL's EPSG:4326 output)
+        geokeys = [1, 1, 0, 4,
+                   1024, 0, 1, 2,     # model type: geographic
+                   1025, 0, 1, 1,     # raster type: pixel-is-area
+                   2048, 0, 1, int(crs_code),  # geographic CS
+                   2054, 0, 1, 9102]  # angular unit: degree
 
     entries = []  # (tag, type, count, values)
     entries.append((T_WIDTH, 3, 1, [width]))

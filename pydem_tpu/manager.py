@@ -29,7 +29,8 @@ import numpy as np
 
 from .api import DEMProcessor
 from .geometry import pixel_scales
-from .io.geotiff import read_geotiff, write_geotiff
+from .io.geotiff import write_geotiff
+from .io.raw import read_raster
 from .io.store import ArrayStore
 from .profiling import StageTimer
 
@@ -37,8 +38,21 @@ from .profiling import StageTimer
 # pixel sizes so tiling is the only variable in equivalence tests.
 DEBUG = False
 
-_INPUT_FILE_TYPES = ("tif", "tiff", "vrt", "hgt", "flt", "adf", "grib",
-                     "grib2", "grb", "gr1")
+# Formats the from-scratch IO layer can actually read (io.geotiff +
+# io.raw).  The reference lists every GDAL driver extension
+# (process_manager.py:458); advertising formats the reader cannot parse
+# would discover tiles and then crash mid-pipeline.
+_INPUT_FILE_TYPES = ("tif", "tiff", "hgt", "flt")
+
+
+def _read_elev_f64(fn):
+    """Read a tile's elevation as float64 with integer nodata masked to NaN
+    (float tiles keep raw values, like the reference's unmasked read)."""
+    g = read_raster(fn)
+    data = np.asarray(g.data)
+    if g.nodata is not None and np.issubdtype(data.dtype, np.integer):
+        return np.where(data == g.nodata, np.nan, data.astype("float64"))
+    return np.asarray(data, "float64")
 
 
 class ProcessManager:
@@ -46,8 +60,13 @@ class ProcessManager:
 
     def __init__(self, in_path=".", n_workers=1, out_path=None,
                  dem_proc_kwargs=None, grid_round_decimals=2, _debug=False,
-                 mesh=None, resume=False, out_of_core=False, superblock=4096):
+                 mesh=None, resume=False, out_of_core=False, superblock=4096,
+                 measure_halo_overlap=False):
         self.in_path = in_path
+        # metrics.json: also MEASURE the halo/compute overlap fraction on
+        # the mesh (three timed jitted variants; see
+        # parallel.sharded.measure_halo_overlap)
+        self.measure_halo_overlap = measure_halo_overlap
         self.n_workers = n_workers  # accepted for API parity; device-parallel
         self.out_path = out_path or os.path.join(in_path, "results.zarr")
         self.dem_proc_kwargs = dict(dem_proc_kwargs or {})
@@ -100,7 +119,7 @@ class ProcessManager:
         for fn in self.elev_source_files:
             # header-only: discovery is O(metadata), not O(pixels) — pixels
             # are streamed at mosaic/ingest time
-            g = read_geotiff(fn, header_only=True)
+            g = read_raster(fn, header_only=True)
             tiles.append(g)
         if not tiles:
             raise RuntimeError("no input rasters found in %r" % self.in_path)
@@ -182,6 +201,8 @@ class ProcessManager:
             for i, o in enumerate(offs)]
         self.transform = (dlon, 0.0, left0, 0.0, dlat, top0)
         self._projected = getattr(tiles[0], "projected", False)
+        self._crs_code = getattr(tiles[0], "crs_code", 4326)
+        self._ellipsoid = getattr(tiles[0], "ellipsoid", "WGS-84")
         return self.grid_shape
 
     # -- mosaic + pipeline --------------------------------------------------
@@ -191,7 +212,7 @@ class ProcessManager:
         canvas = np.full((n, m), np.nan)
         disagree = 0
         for fn, slc in zip(self.elev_source_files, self.grid_slice):
-            new = np.asarray(read_geotiff(fn).data, "float64")
+            new = _read_elev_f64(fn)
             old = canvas[slc]
             both = np.isfinite(old) & np.isfinite(new)
             # overlap-value disagreement check (the reference tolerates
@@ -209,7 +230,8 @@ class ProcessManager:
         n = self.grid_shape[0]
         if DEBUG or self._debug:
             return (np.ones(n - 1), np.ones(n - 1), np.ones(n), np.ones(n))
-        return pixel_scales(self.transform, n, projected=self._projected)
+        return pixel_scales(self.transform, n, projected=self._projected,
+                            ellipsoid=getattr(self, "_ellipsoid", "WGS-84"))
 
     def _processor(self):
         if self._dp is not None:
@@ -348,7 +370,7 @@ class ProcessManager:
         self.out_file.create("elev_src", self.grid_shape, "float64",
                              chunks=(S, S), fill=np.nan, overwrite=True)
         for fn, slc in zip(self.elev_source_files, self.grid_slice):
-            new = np.asarray(read_geotiff(fn).data, "float64")
+            new = _read_elev_f64(fn)
             cur = self.out_file.read_window(
                 "elev_src", (slc[0].start, slc[0].stop),
                 (slc[1].start, slc[1].stop))
@@ -407,7 +429,8 @@ class ProcessManager:
             "n_tiles": self.n_inputs,
         }
         if self._sp is not None:
-            metrics.update(self._sp.halo_metrics())
+            metrics.update(self._sp.halo_metrics(
+                measure=getattr(self, "measure_halo_overlap", False)))
         if getattr(self, "_ooc", None) is not None:
             metrics["uca_iters_to_converge"] = int(self._ooc.uca_rounds)
             metrics["halo_fraction"] = self._ooc.halo_fraction()
@@ -438,7 +461,9 @@ class ProcessManager:
         for key, data in self.out_file_noverlap.items():
             fn = os.path.join(out_path, key + ".tif")
             write_geotiff(fn, data.astype("float32"), self.transform,
-                          nodata=-9999, compress=True)
+                          nodata=-9999, compress=True,
+                          crs_code=getattr(self, "_crs_code", 4326),
+                          projected=self._projected)
             written.append(fn)
             for fac in overview_factors:
                 if min(data.shape) // fac < 1:
@@ -449,13 +474,17 @@ class ProcessManager:
                 t[4] *= fac
                 ofn = os.path.join(out_path, "%s.ovr%d.tif" % (key, fac))
                 write_geotiff(ofn, ov.astype("float32"), tuple(t),
-                              nodata=-9999, compress=True)
+                              nodata=-9999, compress=True,
+                              crs_code=getattr(self, "_crs_code", 4326),
+                              projected=self._projected)
                 written.append(ofn)
         return written
 
     def save_geotiff(self, key, fn):
         write_geotiff(fn, self.out_file[key].astype("float32"),
-                      self.transform, nodata=-9999, compress=True)
+                      self.transform, nodata=-9999, compress=True,
+                      crs_code=getattr(self, "_crs_code", 4326),
+                      projected=self._projected)
 
     def save_geotiff_tiled(self, key, fn, overview_factors=(3, 9, 27),
                            bigtiff="auto", tile=256, nodata=-9999.0):

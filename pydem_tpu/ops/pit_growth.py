@@ -160,27 +160,34 @@ def _grow_and_extract(elev, pits_bool, pit_i, pit_j, cdX, cdY, dX, dY,
     return jax.vmap(one)(drain, oi, oj, pit_i, pit_j, found)
 
 
-def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
-                             max_dist=32, max_dist_XY=None, min_border=False,
-                             window=96, link_capacity=48):
-    """Drop-in replacement for ``conditioning.connectivity_pits`` running
-    the growth loops AND link assembly on device.  Same return signature.
+def pit_links_device(flats_d, elev_d, dX, dY, max_iter=300, max_dist=32,
+                     max_dist_XY=None, min_border=False, window=96,
+                     link_capacity=48):
+    """Device-resident pit-link search: growth loops AND link assembly run
+    on device from device-resident ``flats``/``elev``; only the pit
+    coordinate list (one boolean canvas fetch) and the O(P·K) link scalars
+    cross the host boundary.
+
+    Returns ``(src, dst, wgt, drained_src_flat, drained_mean_s)`` — the
+    sparse link triples plus the flat indices of successfully-drained pits
+    and their new slope magnitudes (the flats/mag state updates of
+    dem_processing.py:1360-1371, to be applied by the caller: on device in
+    the fast path, on host in :func:`connectivity_pits_device`).
 
     Pits with more than ``link_capacity`` drain cells (rare — drains are a
     strict-minimum subset of one border ring) fall back to exact host
     assembly from their fetched masks."""
     import warnings
 
-    flats = np.asarray(flats).copy()
-    mag = np.asarray(mag).copy()
-    elev = np.asarray(elev)
-    n, m = elev.shape
-    pits_bool = flats & (elev > 0)
-    pits = np.argwhere(pits_bool)
+    n, m = elev_d.shape
+    pits_bool_d = flats_d & (elev_d > 0)
+    pits = np.argwhere(np.asarray(pits_bool_d))
+    z64 = np.zeros(0, "int64")
     if pits.size == 0:
-        return (np.zeros(0, "int64"), np.zeros(0, "int64"),
-                np.zeros(0, "float64"), flats, mag)
+        return z64, z64, np.zeros(0, "float64"), z64, np.zeros(0, "float64")
 
+    dX = np.asarray(dX, "float64")
+    dY = np.asarray(dY, "float64")
     W = int(min(window, n, m))
     K = int(link_capacity)
     cdX = np.concatenate([[0.0], np.cumsum(dX)])
@@ -193,10 +200,9 @@ def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
     PB = 256
     while PB < min(P, 2048):
         PB *= 2
-    elev_d = jnp.asarray(elev)
-    pits_bool_d = jnp.asarray(pits_bool)
-    consts = (jnp.asarray(cdX, elev.dtype), jnp.asarray(cdY, elev.dtype),
-              jnp.asarray(dX, elev.dtype), jnp.asarray(dY, elev.dtype))
+    fdt = elev_d.dtype
+    consts = (jnp.asarray(cdX, fdt), jnp.asarray(cdY, fdt),
+              jnp.asarray(dX, fdt), jnp.asarray(dY, fdt))
     chunks = []
     for p0 in range(0, P, PB):
         batch = pits[p0: p0 + PB]
@@ -220,10 +226,10 @@ def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
     take = fast[:, None] & valid_d & ok_d[:, None]
     src = np.repeat(src_flat, K).reshape(-1, K)[take]
     dst = dst_d[take].astype("int64")
-    wgt = wgt_d[take]
+    wgt = wgt_d[take].astype("float64")
     drained = fast & ok_d
-    mag.ravel()[src_flat[drained]] = mean_s_d[drained]
-    flats.ravel()[src_flat[drained]] = False
+    drained_src = src_flat[drained].astype("int64")
+    drained_mean = mean_s_d[drained].astype("float64")
     warn_pits = int((fast & ~ok_d).sum())
 
     if overflow.any():
@@ -237,6 +243,7 @@ def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
             elev_d, pits_bool_d,
             jnp.asarray(pits[pidx, 0]), jnp.asarray(pits[pidx, 1]),
             W=W, max_iter=max_iter, min_border=min_border))
+        elev = np.asarray(elev_d)
         e = elev.ravel()
         src2, dst2, wgt2 = [], [], []
         for q, p in enumerate(idx):
@@ -275,8 +282,9 @@ def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
             src2 += [ipit * m + jpit] * len(drains_flat)
             dst2 += drains_flat.tolist()
             wgt2 += (s / s.sum()).tolist()
-            mag[ipit, jpit] = np.mean(s)
-            flats[ipit, jpit] = False
+            drained_src = np.concatenate(
+                [drained_src, [ipit * m + jpit]]).astype("int64")
+            drained_mean = np.concatenate([drained_mean, [np.mean(s)]])
         src = np.concatenate([src, np.asarray(src2, "int64")])
         dst = np.concatenate([dst, np.asarray(dst2, "int64")])
         wgt = np.concatenate([wgt, np.asarray(wgt2, "float64")])
@@ -284,5 +292,24 @@ def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
     if warn_pits:
         warnings.warn("%d pits had no place to drain to in this chunk"
                       % warn_pits)
-    return (np.asarray(src, "int64"), np.asarray(dst, "int64"),
-            np.asarray(wgt, "float64"), flats, mag)
+    return src, dst, wgt, drained_src, drained_mean
+
+
+def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
+                             max_dist=32, max_dist_XY=None, min_border=False,
+                             window=96, link_capacity=48):
+    """Drop-in replacement for ``conditioning.connectivity_pits`` running
+    the growth loops AND link assembly on device.  Same return signature
+    (host arrays; the flats/mag updates are applied here — the
+    device-resident fast path uses :func:`pit_links_device` directly and
+    applies them on device)."""
+    flats = np.asarray(flats).copy()
+    mag = np.asarray(mag).copy()
+    src, dst, wgt, drained_src, drained_mean = pit_links_device(
+        jnp.asarray(np.asarray(flats)), jnp.asarray(np.asarray(elev)),
+        dX, dY, max_iter=max_iter, max_dist=max_dist,
+        max_dist_XY=max_dist_XY, min_border=min_border, window=window,
+        link_capacity=link_capacity)
+    mag.ravel()[drained_src] = drained_mean
+    flats.ravel()[drained_src] = False
+    return src, dst, wgt, flats, mag

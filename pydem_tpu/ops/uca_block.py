@@ -186,11 +186,18 @@ _FLIPS = ((False, False), (True, True), (False, True), (True, False))
 
 def _gs_kernel(xp_hbm, w_hbm, base_ref, xp_out, chg_ref, x_s, w_s, x0_s,
                sem_in, sem_w, sem_out, *, B, inner_max, nb_i, nb_j,
-               flip_i, flip_j):
+               flip_i, flip_j, subset):
     """Gauss-Seidel block step: read the halo window of the LIVE (aliased)
     canvas and the weight window straight from HBM, relax in VMEM until the
     block stops changing, write the interior back.  ``flip_i/flip_j``
     statically reverse the block visit order (the corner-sweep orientation).
+
+    ``subset`` restricts which blocks relax: "all", "interior" (blocks not
+    touching the canvas edge), or "boundary" (the complement).  The sharded
+    caller runs interior blocks while the next halo ppermute is in flight,
+    then boundary blocks after it lands (parallel.sharded.accumulate_sharded
+    — the halo/compute overlap).  Skipped blocks cost one predicate and a
+    zero flag write.
     """
     del xp_hbm  # aliased with xp_out; read the output ref for fresh values
     i = pl.program_id(0)
@@ -198,58 +205,75 @@ def _gs_kernel(xp_hbm, w_hbm, base_ref, xp_out, chg_ref, x_s, w_s, x0_s,
     bi = (nb_i - 1 - i) if flip_i else i
     bj = (nb_j - 1 - j) if flip_j else j
 
-    read = pltpu.make_async_copy(
-        xp_out.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
-        x_s, sem_in)
-    read.start()
-    wread = pltpu.make_async_copy(
-        w_hbm.at[:, pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
-        w_s, sem_w)
-    wread.start()
-    read.wait()
-    wread.wait()
-    x0_s[:] = x_s[HR: HR + B, HC: HC + B]
-    base = base_ref[:]
+    def _guard(run):
+        if subset == "all":
+            run()
+            return
+        on_edge = ((bi == 0) | (bi == nb_i - 1)
+                   | (bj == 0) | (bj == nb_j - 1))
+        is_mine = on_edge if subset == "boundary" else ~on_edge
 
-    def sweep():
-        # canonical neighbor order everywhere -> the f32 accumulation is
-        # bitwise identical across orientations, so the fixed point is
-        # orientation-stable and rounds go quiescent
-        x = x_s[:]
-        w = w_s[:]
-        acc = base
-        for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
-            r0, c0 = HR - di, HC - dj
-            acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
-                         * x[r0: r0 + B, c0: c0 + B])
-        changed = jnp.any(acc != x[HR: HR + B, HC: HC + B])
-        x_s[HR: HR + B, HC: HC + B] = acc
-        return changed
+        @pl.when(~is_mine)
+        def _skip():
+            chg_ref[bi, bj] = 0
 
-    def cond(state):
-        it, changed = state
-        return jnp.logical_and(it < inner_max, changed)
+        pl.when(is_mine)(run)
 
-    def body(state):
-        it, _changed = state
-        for _ in range(3):
-            sweep()
-        return it + 4, sweep()
+    @_guard
+    def _run():
+        read = pltpu.make_async_copy(
+            xp_out.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
+            x_s, sem_in)
+        read.start()
+        wread = pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(bi * B, B + 2 * HR),
+                     pl.ds(bj * B, B + 2 * HC)],
+            w_s, sem_w)
+        wread.start()
+        read.wait()
+        wread.wait()
+        x0_s[:] = x_s[HR: HR + B, HC: HC + B]
+        base = base_ref[:]
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+        def sweep():
+            # canonical neighbor order everywhere -> the f32 accumulation is
+            # bitwise identical across orientations, so the fixed point is
+            # orientation-stable and rounds go quiescent
+            x = x_s[:]
+            w = w_s[:]
+            acc = base
+            for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
+                r0, c0 = HR - di, HC - dj
+                acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
+                             * x[r0: r0 + B, c0: c0 + B])
+            changed = jnp.any(acc != x[HR: HR + B, HC: HC + B])
+            x_s[HR: HR + B, HC: HC + B] = acc
+            return changed
 
-    write = pltpu.make_async_copy(
-        x_s.at[pl.ds(HR, B), pl.ds(HC, B)],
-        xp_out.at[pl.ds(bi * B + HR, B), pl.ds(bj * B + HC, B)],
-        sem_out)
-    write.start()
-    write.wait()
-    chg_ref[bi, bj] = jnp.any(
-        x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
+        def cond(state):
+            it, changed = state
+            return jnp.logical_and(it < inner_max, changed)
+
+        def body(state):
+            it, _changed = state
+            for _ in range(3):
+                sweep()
+            return it + 4, sweep()
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+
+        write = pltpu.make_async_copy(
+            x_s.at[pl.ds(HR, B), pl.ds(HC, B)],
+            xp_out.at[pl.ds(bi * B + HR, B), pl.ds(bj * B + HC, B)],
+            sem_out)
+        write.start()
+        write.wait()
+        chg_ref[bi, bj] = jnp.any(
+            x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
 
 
 def _gs_round(xp, w_pad, base, *, B, inner_max, interpret,
-              flips=(False, False)):
+              flips=(False, False), subset="all"):
     """One Gauss-Seidel round over the padded canvas (updated in place via
     aliasing) at the statically-flipped block order.  Returns
     (new padded canvas, per-block changed flags)."""
@@ -258,7 +282,8 @@ def _gs_round(xp, w_pad, base, *, B, inner_max, interpret,
     nb_i, nb_j = n // B, m // B
     fi, fj = flips
     kernel = functools.partial(_gs_kernel, B=B, inner_max=inner_max,
-                               nb_i=nb_i, nb_j=nb_j, flip_i=fi, flip_j=fj)
+                               nb_i=nb_i, nb_j=nb_j, flip_i=fi, flip_j=fj,
+                               subset=subset)
 
     def base_idx(i, j):
         return ((nb_i - 1 - i) if fi else i, (nb_j - 1 - j) if fj else j)
@@ -296,7 +321,8 @@ def _gs_round(xp, w_pad, base, *, B, inner_max, interpret,
     return xp_new, changed
 
 
-def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret):
+def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret,
+                      subset="all"):
     """One Gauss-Seidel round at orientation ``o`` (0..3, traced) over the
     (HR, HC)-padded canvas ``xp``.  ``w_pad`` is the (HR, HC)-padded weight
     tensor; orientation selects one of 4 statically-compiled block-visit
@@ -304,13 +330,15 @@ def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret):
 
     The pad ring of ``xp`` is treated as frozen inflow: zeros for a lone
     canvas, or neighbor-shard halo values written there by a sharded caller
-    (parallel.sharded.accumulate_sharded).
+    (parallel.sharded.accumulate_sharded).  ``subset`` restricts the round
+    to interior or boundary blocks (see _gs_kernel).
     """
     def mk(i):
         def run(ops):
             xp, b_eff = ops
             xp, chg = _gs_round(xp, w_pad, b_eff, B=B, inner_max=inner_max,
-                                interpret=interpret, flips=_FLIPS[i])
+                                interpret=interpret, flips=_FLIPS[i],
+                                subset=subset)
             return xp, jnp.sum(chg)
         return run
     return jax.lax.switch(o, [mk(i) for i in range(4)], (xp, base))

@@ -162,6 +162,14 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
     Global convergence is one ``psum`` of the per-block changed flags —
     the done/todo zarr bookkeeping collapses into a scalar all-reduce.
 
+    Halo/compute overlap: each round relaxes the shard's INTERIOR blocks
+    first — those never read the pad ring, so the round's ppermute has no
+    data dependency on them and XLA schedules the collective-permute
+    concurrently with the interior Pallas call — then relaxes the BOUNDARY
+    blocks against the just-landed ring (``subset=`` splitting in
+    _gs_kernel).  Shards smaller than 3×3 blocks have no interior and fall
+    back to the serial order.  Measured overlap: ``measure_halo_overlap``.
+
     Exact same fixed point as the single-device solvers (chaotic relaxation
     on the pruned acyclic drainage graph).  Shards at the canvas boundary
     keep a zero ring (``ppermute`` delivers zeros to unpaired devices).
@@ -189,38 +197,67 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
     perm_rt = [(i, i + 1) for i in range(gx - 1)]
     perm_lt = [(i + 1, i) for i in range(gx - 1)]
 
+    # overlap needs both an interior (>=3x3 blocks per shard) and a split
+    # worth hiding; degenerate shards use the serial exchange-then-relax
+    split = (n_l // B) >= 3 and (m_l // B) >= 3
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P("y", "x"), P(None, "y", "x")),
              out_specs=(P("y", "x"), P()), check_rep=False)
     def run(base_l, W_l):
-        def exchange(xp):
-            """Two-phase 1-px halo exchange into the pad ring (works for
-            (n,m) canvases and (8,n,m) weight tensors alike)."""
+        def ring_of(xp):
+            """Two-phase 1-px halo rings from the neighbors' boundary rows/
+            cols of ``xp`` (the ppermutes; no write-back yet)."""
             x = xp[..., HR: HR + n_l, HC: HC + m_l]
-            # phase 1: rows to/from the y-neighbors
             top_ring = jax.lax.ppermute(x[..., -1, :], "y", perm_dn)
             bot_ring = jax.lax.ppermute(x[..., 0, :], "y", perm_up)
-            xp = xp.at[..., HR - 1, HC: HC + m_l].set(top_ring)
-            xp = xp.at[..., HR + n_l, HC: HC + m_l].set(bot_ring)
+            xp1 = xp.at[..., HR - 1, HC: HC + m_l].set(top_ring)
+            xp1 = xp1.at[..., HR + n_l, HC: HC + m_l].set(bot_ring)
             # phase 2: extended columns (rows ring included -> corners hop
             # through the shared y-neighbor)
-            ext = xp[..., HR - 1: HR + n_l + 1, :]
-            left_ring = jax.lax.ppermute(ext[..., :, HC + m_l - 1], "x", perm_rt)
+            ext = xp1[..., HR - 1: HR + n_l + 1, :]
+            left_ring = jax.lax.ppermute(ext[..., :, HC + m_l - 1], "x",
+                                         perm_rt)
             right_ring = jax.lax.ppermute(ext[..., :, HC], "x", perm_lt)
+            return top_ring, bot_ring, left_ring, right_ring
+
+        def write_ring(xp, rings):
+            top_ring, bot_ring, left_ring, right_ring = rings
+            xp = xp.at[..., HR - 1, HC: HC + m_l].set(top_ring)
+            xp = xp.at[..., HR + n_l, HC: HC + m_l].set(bot_ring)
             xp = xp.at[..., HR - 1: HR + n_l + 1, HC - 1].set(left_ring)
             xp = xp.at[..., HR - 1: HR + n_l + 1, HC + m_l].set(right_ring)
             return xp
+
+        def exchange(xp):
+            return write_ring(xp, ring_of(xp))
 
         # ring pixels can *send* into this shard, so their weights must be
         # present locally too; they are constant — exchange once
         w_pad = exchange(jnp.pad(W_l, ((0, 0), (HR, HR), (HC, HC))))
 
         def one_round(o, xp):
-            xp = exchange(xp)
-            xp, chg = gs_round_oriented(xp, w_pad, base_l, o, B=B,
-                                        inner_max=inner_max,
-                                        interpret=interpret)
-            return xp, jax.lax.psum(chg, ("y", "x"))
+            if not split:
+                xp = exchange(xp)
+                xp, chg = gs_round_oriented(xp, w_pad, base_l, o, B=B,
+                                            inner_max=inner_max,
+                                            interpret=interpret)
+                return xp, jax.lax.psum(chg, ("y", "x"))
+            # overlapped: the ppermutes depend only on the INCOMING canvas,
+            # the interior relax never reads the pad ring -> XLA runs them
+            # concurrently; boundary blocks then relax against the landed
+            # ring
+            rings = ring_of(xp)
+            xp, chg_i = gs_round_oriented(xp, w_pad, base_l, o, B=B,
+                                          inner_max=inner_max,
+                                          interpret=interpret,
+                                          subset="interior")
+            xp = write_ring(xp, rings)
+            xp, chg_b = gs_round_oriented(xp, w_pad, base_l, o, B=B,
+                                          inner_max=inner_max,
+                                          interpret=interpret,
+                                          subset="boundary")
+            return xp, jax.lax.psum(chg_i + chg_b, ("y", "x"))
 
         xp0 = jnp.pad(base_l, ((HR, HR), (HC, HC)))
         xp, chg = one_round(jnp.int32(0), xp0)
@@ -414,20 +451,139 @@ class ShardedPipeline:
         self.uca_rounds = int(rounds)
         return np.asarray(area), self.uca_rounds
 
-    def halo_metrics(self):
-        """Halo-exchange accounting for BASELINE.md metric #3: the fraction
-        of per-round canvas traffic that is 1-px halo rings (ppermute over
-        ICI for the blocked solver; XLA collective-permutes under GSPMD for
-        jacobi)."""
+    def halo_metrics(self, measure=False):
+        """Halo-exchange accounting for BASELINE.md metric #3.
+
+        Always reports the per-round exchanged ring geometry (bytes — a
+        fact of the decomposition, labeled as such).  With ``measure=True``
+        additionally times the three jitted variants on this mesh —
+        exchange-only, relax-only, full overlapped round — and reports the
+        measured ``overlap_fraction`` = (t_exchange + t_relax − t_full) /
+        min(t_exchange, t_relax): the share of the cheaper phase hidden
+        behind the other.
+        """
         n, m = self.elev.shape
         gy, gx = self.mesh.devices.shape
         n_l, m_l = -(-n // gy), -(-m // gx)
         ring = 2 * (n_l + 2) + 2 * m_l  # rows then extended columns
-        frac = ring * gy * gx / float(n * m)
-        return {"halo_px_per_round_per_shard": ring,
-                "halo_fraction": frac,
-                "mesh_shape": [int(gy), int(gx)],
-                "uca_rounds": int(getattr(self, "uca_rounds", -1))}
+        out = {"halo_px_per_round_per_shard": ring,
+               "halo_bytes_per_round_per_shard":
+                   ring * int(self.elev.dtype.itemsize),
+               "halo_geometry_fraction": ring * gy * gx / float(n * m),
+               "mesh_shape": [int(gy), int(gx)],
+               "uca_rounds": int(getattr(self, "uca_rounds", -1))}
+        if measure and self._W is not None:
+            out.update(measure_halo_overlap(self._base, self._W, self.mesh))
+        return out
+
+
+def measure_halo_overlap(base, W, mesh, rounds=8, B=None, interpret=None):
+    """MEASURE the halo/compute overlap on this mesh (BASELINE.md metric #3).
+
+    Times three fixed-round jitted programs — halo exchange only, block
+    relaxation only, and the production overlapped round — and reports
+    ``overlap_fraction = (t_exchange + t_relax - t_full) / min(...)``: how
+    much of the cheaper phase is hidden behind the other.  On the CPU
+    virtual mesh this measures XLA's actual schedule (the honest stand-in
+    until real multi-chip ICI is available); on a TPU slice the permutes
+    ride ICI.
+    """
+    import time
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.uca_block import HC, HR, gs_round_oriented
+
+    n, m = base.shape
+    gy, gx = mesh.devices.shape
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    if B is None:
+        B = 8 if interpret else _shard_block_size(n // gy, m // gx) or 128
+    pn, pm = (-n) % (B * gy), (-m) % (B * gx)
+    base = jax.device_put(jnp.pad(base, ((0, pn), (0, pm))),
+                          canvas_sharding(mesh))
+    W = jax.device_put(jnp.pad(W, ((0, 0), (0, pn), (0, pm))),
+                       NamedSharding(mesh, P(None, "y", "x")))
+    n, m = base.shape
+    n_l, m_l = n // gy, m // gx
+    inner_max = 2 * B + 4
+
+    perm_dn = [(i, i + 1) for i in range(gy - 1)]
+    perm_up = [(i + 1, i) for i in range(gy - 1)]
+    perm_rt = [(i, i + 1) for i in range(gx - 1)]
+    perm_lt = [(i + 1, i) for i in range(gx - 1)]
+
+    def mk(mode):
+        @jax.jit
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(P("y", "x"), P(None, "y", "x")),
+                  out_specs=P(), check_rep=False)
+        def prog(base_l, W_l):
+            def ring_of(xp):
+                x = xp[..., HR: HR + n_l, HC: HC + m_l]
+                top = jax.lax.ppermute(x[..., -1, :], "y", perm_dn)
+                bot = jax.lax.ppermute(x[..., 0, :], "y", perm_up)
+                xp1 = xp.at[..., HR - 1, HC: HC + m_l].set(top)
+                xp1 = xp1.at[..., HR + n_l, HC: HC + m_l].set(bot)
+                ext = xp1[..., HR - 1: HR + n_l + 1, :]
+                lt = jax.lax.ppermute(ext[..., :, HC + m_l - 1], "x",
+                                      perm_rt)
+                rt = jax.lax.ppermute(ext[..., :, HC], "x", perm_lt)
+                return top, bot, lt, rt
+
+            def write_ring(xp, rings):
+                top, bot, lt, rt = rings
+                xp = xp.at[..., HR - 1, HC: HC + m_l].set(top)
+                xp = xp.at[..., HR + n_l, HC: HC + m_l].set(bot)
+                xp = xp.at[..., HR - 1: HR + n_l + 1, HC - 1].set(lt)
+                xp = xp.at[..., HR - 1: HR + n_l + 1, HC + m_l].set(rt)
+                return xp
+
+            def exchange(xp):
+                return write_ring(xp, ring_of(xp))
+
+            split = (n_l // B) >= 3 and (m_l // B) >= 3
+            w_pad = exchange(jnp.pad(W_l, ((0, 0), (HR, HR), (HC, HC))))
+            xp0 = jnp.pad(base_l, ((HR, HR), (HC, HC)))
+
+            def relax(xp, r, subset="all"):
+                xp, _chg = gs_round_oriented(
+                    xp, w_pad, base_l, r % 4, B=B, inner_max=inner_max,
+                    interpret=interpret, subset=subset)
+                return xp
+
+            def body(r, xp):
+                if mode == "exchange":
+                    return exchange(xp)
+                if mode == "relax":
+                    return relax(xp, r)
+                if not split:  # full, serial fallback
+                    return relax(exchange(xp), r)
+                rings = ring_of(xp)  # full, production overlapped round
+                xp = relax(xp, r, subset="interior")
+                xp = write_ring(xp, rings)
+                return relax(xp, r, subset="boundary")
+
+            xp = jax.lax.fori_loop(0, rounds, body, xp0)
+            return jax.lax.psum(jnp.sum(xp[HR, HC:HC + 8]), ("y", "x"))
+        return prog
+
+    out = {}
+    for mode in ("exchange", "relax", "full"):
+        prog = mk(mode)
+        float(prog(base, W))  # compile + warm
+        t0 = time.perf_counter()
+        float(prog(base, W))
+        out["t_%s_per_round" % mode] = (time.perf_counter() - t0) / rounds
+    te, tr, tf = (out["t_exchange_per_round"], out["t_relax_per_round"],
+                  out["t_full_per_round"])
+    denom = min(te, tr)
+    out["overlap_fraction"] = max(0.0, min(1.0, (te + tr - tf) / denom
+                                           if denom > 0 else 0.0))
+    out["overlap_rounds_timed"] = rounds
+    return out
 
 
 def run_sharded(elev, dX, dY, dX2=None, dY2=None, mesh=None, n_sweeps=None,

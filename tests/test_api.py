@@ -51,3 +51,40 @@ def test_apply_uca_limit_edges_marks_saturated_edges_done():
     assert lim.edge_done[sat].all()
     extra = lim.edge_done & ~base.edge_done
     assert extra.any() and (extra <= sat).all()
+
+
+def test_device_fast_path_matches_staged():
+    """The device-resident fast chain (fused programs, lazy state fetch)
+    must produce the same uca/twi/mag/flats as the staged orchestration
+    with the same device backends."""
+    import warnings
+
+    import numpy as np
+
+    from pydem_tpu import DEMProcessor, fixtures
+
+    n = 64
+    rng = np.random.RandomState(3)
+    elev, _a, _u = fixtures.get_test_case(30, n)  # noisy cone
+    elev = np.round(np.asarray(elev) * 40) / 40  # quantization pits/flats
+
+    class StagedDP(DEMProcessor):
+        _fast_device = False  # force the per-stage host-orchestrated path
+
+    kw = dict(conditioning_backend="device", pit_backend="device")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fast = DEMProcessor(elev=elev.copy(), **kw)
+        twi_fast = fast.calc_twi()
+        staged = StagedDP(elev=elev.copy(), **kw)
+        twi_staged = staged.calc_twi()
+
+    assert fast._dev("uca") is not None  # the fast path actually ran
+    for name in ("uca", "mag", "twi"):
+        a, b = getattr(fast, name), getattr(staged, name)
+        np.testing.assert_array_almost_equal(
+            np.nan_to_num(a), np.nan_to_num(b), decimal=8, err_msg=name)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=name)
+    np.testing.assert_array_equal(fast.flats, staged.flats)
+    np.testing.assert_array_almost_equal(np.nan_to_num(twi_fast),
+                                         np.nan_to_num(twi_staged), decimal=8)
