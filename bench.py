@@ -272,9 +272,162 @@ def bench_slope_only(n):
     return n * n / dt, dt
 
 
+def bench_stages(n):
+    """Per-stage timings + a bytes-moved roofline table for the main chain.
+
+    `min GB` is the analytic lower bound on HBM traffic (inputs read once +
+    outputs written once, perfect fusion); `% roofline` is that bound's
+    bandwidth over the measured time against the chip's HBM peak.  Numbers
+    far below 100% mean the stage is latency/ragged-op bound, not
+    bandwidth bound — the optimization signal the report exists to carry.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from pydem_tpu.core.receivers import receiver_weights, section_proportion
+    from pydem_tpu.core.slope_direction import (find_flats_edges,
+                                                slopes_directions)
+    from pydem_tpu.core.uca import base_area
+
+    HBM_PEAK = 819e9  # v5e HBM bandwidth, bytes/s
+    elev = jnp.asarray(make_cone(n))
+    dX = jnp.ones(n - 1, jnp.float32)
+    dX2 = jnp.ones(n, jnp.float32)
+    REPS = 5
+    MB = n * n * 4 / 1e6  # one f32 canvas in MB
+
+    def chain(stage):
+        @jax.jit
+        def prog(elev):
+            def body(i, acc):
+                e = elev + (i + 1).astype(elev.dtype) * 1e-5
+                return acc + stage(e)
+            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+        return prog
+
+    def timeit(prog):
+        float(prog(elev))  # compile + warm
+        t0 = time.perf_counter()
+        float(prog(elev))
+        return (time.perf_counter() - t0) / REPS
+
+    def s_slope(e):
+        mag, d = slopes_directions(e, dX, dX)
+        return jnp.nansum(mag) + jnp.nansum(d) % 7
+
+    def s_pre(e):
+        mag, d = slopes_directions(e, dX, dX)
+        fl = find_flats_edges(e, mag, d)
+        d = jnp.where(fl, -1, d)
+        sec, prop = section_proportion(d, fl, dX, dX)
+        W = receiver_weights(sec, prop, e)
+        base = base_area(dX2, dX2, e.shape, e.dtype)
+        return jnp.nansum(mag) + W.sum() + base[0, 0]
+
+    t_slope = timeit(chain(s_slope))
+    t_pre = timeit(chain(s_pre))
+
+    from pydem_tpu.ops.uca_block import accumulate_blocked_gs
+    from pydem_tpu.parallel.sharded import terrain_pre
+
+    W, base = terrain_pre(elev, dX, dX, dX2, dX2)[3:5]
+
+    @jax.jit
+    def prog_gs(base, W):
+        def body(i, acc):
+            b = base + (i + 1).astype(base.dtype) * 1e-7
+            area, r = accumulate_blocked_gs(b, W, B=256)
+            return acc + area[0, 0] + r.astype(jnp.float32)
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    float(prog_gs(base, W))
+    t0 = time.perf_counter()
+    float(prog_gs(base, W))
+    t_gs = (time.perf_counter() - t0) / REPS
+    rounds = int(accumulate_blocked_gs(base, W, B=256)[1])
+
+    # analytic minimum HBM traffic per stage (canvas units, f32)
+    rows = [
+        ("slope/direction", t_slope, (1 + 2) * MB),
+        ("terrain_pre (slope+flats+sec+W+base)", t_pre, (1 + 13) * MB),
+        # per GS round: x halo-windows 2.13x + W windows 8x2.13x + write 1x
+        ("UCA blocked-GS (%d rounds)" % rounds, t_gs,
+         rounds * (2.13 + 8 * 2.13 + 1) * MB),
+    ]
+    out = ["", "## Stage roofline (%d², f32, HBM peak %.0f GB/s)"
+           % (n, HBM_PEAK / 1e9), "",
+           "| stage | time (s) | min GB moved | achieved GB/s | % roofline |",
+           "|---|---|---|---|---|"]
+    for name, t, mb in rows:
+        gbs = mb / 1e3 / t
+        out.append("| %s | %.4f | %.2f | %.0f | %.1f%% |"
+                   % (name, t, mb / 1e3, gbs, 100 * gbs / (HBM_PEAK / 1e9)))
+    return out
+
+
+def bench_ooc(n=8192, superblock=4096):
+    """Out-of-core engine throughput at an n² logical canvas (store-backed,
+    bounded memory)."""
+    import shutil
+    import tempfile
+    import warnings
+
+    import numpy as np
+
+    from pydem_tpu.io.store import ArrayStore
+    from pydem_tpu.outofcore import OutOfCoreEngine
+
+    work = tempfile.mkdtemp(prefix="pydem_ooc_bench_")
+    try:
+        store = ArrayStore(os.path.join(work, "results.zarr"))
+        store.create("elev_src", (n, n), "float64",
+                     chunks=(superblock, superblock), fill=np.nan)
+        S = superblock
+        x, y = np.mgrid[-1:1:complex(0, n), -1:1:complex(0, n)]
+        for i0 in range(0, n, S):
+            for j0 in range(0, n, S):
+                blk = (1 - np.sqrt(x[i0:i0 + S, j0:j0 + S] ** 2
+                                   + y[i0:i0 + S, j0:j0 + S] ** 2)
+                       / np.sqrt(2.0))
+                store.write_window("elev_src", blk + 1.05, (i0, j0))
+        ones_f = np.ones(n - 1)
+        ones_p = np.ones(n)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            eng = OutOfCoreEngine(store, (n, n), ones_f, ones_f, ones_p,
+                                  ones_p, superblock=superblock,
+                                  dem_proc_kwargs={"fill_flats": False,
+                                                   "drain_pits_path": False})
+            t0 = time.perf_counter()
+            eng.run()
+            dt = time.perf_counter() - t0
+        return n * n / dt, dt, eng.uca_rounds
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def mesh_scaling_table(n=256):
+    """CPU-virtual-mesh scaling sweep in a subprocess (needs the cpu
+    platform + device-count flags set before jax imports)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools",
+                      "mesh_scaling.py"), str(n)],
+        capture_output=True, text=True, env=env, timeout=1800)
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("|")]
+    return lines if r.returncode == 0 and lines else [
+        "(mesh scaling sweep failed: rc=%d)" % r.returncode]
+
+
 def full_report(primary, hard):
     lines = ["# pydem_tpu benchmark report", "",
-             "Metrics per BASELINE.json configs; one TPU v5e chip via the "
+             "Regenerated by every `python bench.py` run.  Metrics per "
+             "BASELINE.json configs; one TPU v5e chip via the "
              "axon tunnel.  All vs_baseline ratios are measured against the "
              "reference implementation on the SAME terrain (tools/oracle.py "
              "+ its wavefront kernel rebuilt in C++ at -O3).", "",
@@ -290,14 +443,36 @@ def full_report(primary, hard):
                     primary["detail"]["uca_sweeps"],
                     primary["vs_baseline"] or 0))
     if N_TPU == 2048:  # scaling point: larger canvas amortizes dispatch/RTT
-        v, dt, sweeps, _p, _t1 = bench_tpu(4096, reps=3)
-        lines.append("- full chain (4096² cone): **%.1f Mpx/s** (%.4f s, "
-                     "%d UCA rounds)" % (v / 1e6, dt, sweeps))
+        try:
+            v, dt, sweeps, _p, _t1 = bench_tpu(4096, reps=3)
+            lines.append("- full chain (4096² cone): **%.1f Mpx/s** (%.4f s, "
+                         "%d UCA rounds)" % (v / 1e6, dt, sweeps))
+        except Exception as e:
+            lines.append("- full chain (4096²): failed (%r)" % e)
     lines.append("- hard terrain full chain incl. conditioning (%d², "
                  "quantized noisy cone + sea notch): **%.2f Mpx/s** "
                  "(%.2f s, vs reference on the same terrain: **%.1fx**)"
                  % (hard["n"], hard["px_per_s"] / 1e6, hard["seconds"],
                     hard["vs_baseline"] or 0))
+    try:
+        oocv, oocdt, oocr = bench_ooc()
+        lines.append("- out-of-core engine (8192² logical, 4096² "
+                     "super-blocks, store-backed): **%.1f Mpx/s** (%.1f s, "
+                     "%d UCA rounds) — %.2fx the in-HBM rate"
+                     % (oocv / 1e6, oocdt, oocr, oocv / primary["value"]))
+    except Exception as e:
+        lines.append("- out-of-core bench failed: %r" % e)
+    try:
+        lines.extend(bench_stages(N_TPU))
+    except Exception as e:
+        lines.append("(stage roofline failed: %r)" % e)
+    lines += ["", "## CPU-virtual-mesh scaling (honest multi-chip stand-in; "
+              "512² canvas equivalent at 256² here, interpret-mode Pallas "
+              "so absolute times are NOT TPU times)", ""]
+    try:
+        lines.extend(mesh_scaling_table())
+    except Exception as e:
+        lines.append("(sweep failed: %r)" % e)
     lines.append("")
     lines.append("Multi-chip: single chip available here; sharded-equivalence"
                  " is validated on an 8-device CPU mesh (tests/test_sharded"
@@ -351,8 +526,34 @@ def main():
             },
         },
     }
-    if "--full" in sys.argv:
-        full_report(primary, hard)
+    # Regression tripwire: compare against every prior round's recorded
+    # bench (the round-2 49.5->28.1 Mpx/s regression went unnoticed for a
+    # full round because nothing compared across rounds).
+    import glob
+
+    prev = []
+    for fn in sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            with open(fn) as f:
+                rec = json.load(f).get("parsed", {})
+            if rec.get("value"):
+                prev.append((os.path.basename(fn), rec["value"]))
+        except Exception:
+            pass
+    if prev:
+        best_fn, best = max(prev, key=lambda kv: kv[1])
+        primary["detail"]["vs_best_prior_round"] = round(value / best, 3)
+        if value < 0.9 * best:
+            print("WARNING: headline %.1f Mpx/s is a REGRESSION vs %s "
+                  "(%.1f Mpx/s)" % (value / 1e6, best_fn, best / 1e6),
+                  file=sys.stderr)
+
+    if "--skip-report" not in sys.argv:
+        try:
+            full_report(primary, hard)
+        except Exception as e:
+            print("report generation failed: %r" % e, file=sys.stderr)
     print(json.dumps(primary))
 
 

@@ -452,32 +452,25 @@ class ProcessManager:
     def save_non_overlap_data_geotiff(self, out_path=None, keys=None,
                                       overview_factors=(3, 9, 27)):
         """GeoTIFF export + mean-downsampled overview pyramid (factors 3^k,
-        the reference's scheme at :786-931; overviews are sibling files
-        rather than embedded subIFDs)."""
+        the reference's scheme at :786-931).
+
+        STREAMING by default: every output is written through
+        ``TiledTiffWriter`` windows read chunk-by-chunk from the store, with
+        the overview pyramid embedded as subsequent IFDs — no full-canvas
+        array is ever materialized, so an out-of-core store exports in
+        O(tile) memory (the reference's rasterio-windows discipline,
+        process_manager.py:829-858)."""
         out_path = out_path or os.path.join(self.in_path, "results_geotiff")
         os.makedirs(out_path, exist_ok=True)
-        self.save_non_overlap_data(keys)
+        keys = keys or ["elev", "aspect", "slope", "uca", "twi"]
         written = []
-        for key, data in self.out_file_noverlap.items():
+        for key in keys:
+            if key not in self.out_file:
+                continue
             fn = os.path.join(out_path, key + ".tif")
-            write_geotiff(fn, data.astype("float32"), self.transform,
-                          nodata=-9999, compress=True,
-                          crs_code=getattr(self, "_crs_code", 4326),
-                          projected=self._projected)
+            self.save_geotiff_tiled(key, fn,
+                                    overview_factors=overview_factors)
             written.append(fn)
-            for fac in overview_factors:
-                if min(data.shape) // fac < 1:
-                    break
-                ov = _mean_downsample(data, fac)
-                t = list(self.transform)
-                t[0] *= fac
-                t[4] *= fac
-                ofn = os.path.join(out_path, "%s.ovr%d.tif" % (key, fac))
-                write_geotiff(ofn, ov.astype("float32"), tuple(t),
-                              nodata=-9999, compress=True,
-                              crs_code=getattr(self, "_crs_code", 4326),
-                              projected=self._projected)
-                written.append(ofn)
         return written
 
     def save_geotiff(self, key, fn):
@@ -499,6 +492,7 @@ class ProcessManager:
         factors = [f for f in overview_factors if min(shape) // f >= 1]
         with TiledTiffWriter(fn, shape, "float32", transform=self.transform,
                              nodata=nodata, tile=tile, bigtiff=bigtiff,
+                             crs_code=getattr(self, "_crs_code", 4326),
                              projected=self._projected) as w:
             for i0 in range(0, shape[0], tile):
                 band = self.out_file.read_window(

@@ -347,35 +347,66 @@ class OutOfCoreEngine:
         theta_rows = np.pad(self.theta, (1, self.nbi * S - n + 1),
                             mode="edge")
 
+        def read_block(bi, bj, contrib):
+            """All store windows one super-block visit needs (host IO)."""
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            base_eff = self._base_block(bi, bj)
+            if has_pits:
+                di, dj = dst // m, dst % m
+                sel = ((di >= i0) & (di < i1) & (dj >= j0) & (dj < j1))
+                if sel.any():
+                    np.add.at(base_eff, (di[sel] - i0, dj[sel] - j0),
+                              contrib[sel])
+            x_win = self.store.read_window(
+                "uca_state", (i0 - 1, i0 + S + 1), (j0 - 1, j0 + S + 1))
+            return (bi, bj, x_win, self._window("elev", bi, bj),
+                    self._window("aspect", bi, bj),
+                    self._window("flats", bi, bj),
+                    theta_rows[i0: i0 + S + 2], base_eff)
+
+        def dispatch(blk, rounds):
+            bi, bj, x_win, e, a, f, th, base_eff = blk
+            out, chg, _r = _sb_uca_solve(
+                jnp.asarray(x_win), jnp.asarray(e), jnp.asarray(a),
+                jnp.asarray(f), jnp.asarray(th), jnp.asarray(base_eff),
+                rounds, B=self.B, inner_max=2 * self.B + 4,
+                max_rounds=4 * (S // self.B) + 8, interpret=self.interpret)
+            return bi, bj, out, chg
+
         rounds = start_round
         while rounds < max_rounds:
             changed_any = False
+            contrib = None
             if has_pits:
                 # fold pit contributions once per round (fold-before-relax,
                 # same nesting as accumulate_blocked_pits_gs)
                 contrib = self._gather_state(src) * w
-            for bi, bj in self._blocks(_SWEEP_FLIPS[rounds % 4]):
-                (i0, i1), (j0, j1) = self._interior(bi, bj)
-                base_eff = self._base_block(bi, bj)
-                if has_pits:
-                    di, dj = dst // m, dst % m
-                    sel = ((di >= i0) & (di < i1) & (dj >= j0) & (dj < j1))
-                    if sel.any():
-                        np.add.at(base_eff, (di[sel] - i0, dj[sel] - j0),
-                                  contrib[sel])
-                x_win = self.store.read_window(
-                    "uca_state", (i0 - 1, i0 + S + 1), (j0 - 1, j0 + S + 1))
-                out, chg, _r = _sb_uca_solve(
-                    jnp.asarray(x_win), jnp.asarray(self._window("elev", bi,
-                                                                 bj)),
-                    jnp.asarray(self._window("aspect", bi, bj)),
-                    jnp.asarray(self._window("flats", bi, bj)),
-                    jnp.asarray(theta_rows[i0: i0 + S + 2]),
-                    jnp.asarray(base_eff), rounds, B=self.B,
-                    inner_max=2 * self.B + 4, max_rounds=4 * (S // self.B) + 8,
-                    interpret=self.interpret)
+            # 1-deep software pipeline: while the device relaxes block k,
+            # the host writes back block k-1 and reads block k+1's windows
+            # (jax dispatch is async; forcing `chg` happens one step later).
+            # Block k+1 may therefore see block k's ring one round stale —
+            # harmless for the fixed point (chaotic relaxation) and sound
+            # for termination: the final round performs no writes at all,
+            # so nothing was stale when every block reported unchanged.
+            order = list(self._blocks(_SWEEP_FLIPS[rounds % 4]))
+            pending = None
+            for k, (bi, bj) in enumerate(order):
+                blk = read_block(bi, bj, contrib)
+                nxt = dispatch(blk, rounds)
+                if pending is not None:
+                    pbi, pbj, out, chg = pending
+                    if bool(chg):
+                        changed_any = True
+                        (i0, i1), (j0, j1) = self._interior(pbi, pbj)
+                        self.store.write_window(
+                            "uca_state",
+                            np.asarray(out)[: i1 - i0, : j1 - j0], (i0, j0))
+                pending = nxt
+            if pending is not None:
+                pbi, pbj, out, chg = pending
                 if bool(chg):
                     changed_any = True
+                    (i0, i1), (j0, j1) = self._interior(pbi, pbj)
                     self.store.write_window(
                         "uca_state", np.asarray(out)[: i1 - i0, : j1 - j0],
                         (i0, j0))

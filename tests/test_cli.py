@@ -1,6 +1,8 @@
 """CLI smoke tests: the working versions of the reference's (stale) console
 entry points (commandline_utils.py:18,56,100 — TWIDinf / AreaDinf /
 DinfFlowDir) run end to end on a real GeoTIFF."""
+import os
+
 import numpy as np
 
 from pydem_tpu import cli, fixtures
@@ -42,3 +44,16 @@ def test_dinf_flow_dir(tmp_path):
 
 def test_unknown_command():
     assert cli.main(["NoSuchCmd"]) != 0
+
+
+def test_deploy_golden_check():
+    """The deploy golden regression (deploy/golden_check.py, run inside the
+    Docker image at build time) also passes in this environment."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "deploy/golden_check.py"],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr

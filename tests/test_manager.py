@@ -50,13 +50,15 @@ def test_geotiff_export_and_overviews(tmp_path, single_uca):
         pm.process_twi()
         written = pm.save_non_overlap_data_geotiff(str(tmp_path / "out"))
         assert any(f.endswith("twi.tif") for f in written)
-        assert any("ovr3" in f for f in written)
         from pydem_tpu.io import read_geotiff
         g = read_geotiff(str(tmp_path / "out" / "uca.tif"))
         ref = pm.out_file["uca"].astype("float32")
-        both_nan = np.isnan(g.data) & np.isnan(ref)
-        assert np.allclose(np.where(both_nan, 0, g.data),
-                           np.where(both_nan, 0, ref))
+        nod = np.isnan(ref)  # streaming writer stores nodata for NaN
+        assert np.allclose(np.where(nod, 0, g.data), np.where(nod, 0, ref))
+        assert np.all(g.data[nod] == np.float32(-9999.0))
+        # overview pyramid is embedded as subsequent IFDs (factor 3 first)
+        ov = read_geotiff(str(tmp_path / "out" / "uca.tif"), ifd_index=1)
+        assert ov.shape[0] == g.shape[0] // 3
         pm.process_overviews(keys=("twi",))
         assert "twi_3" in pm.out_file
     finally:
