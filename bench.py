@@ -424,7 +424,7 @@ def mesh_scaling_table(n=256):
         "(mesh scaling sweep failed: rc=%d)" % r.returncode]
 
 
-def full_report(primary, hard):
+def full_report(primary, hard, mark=lambda w: None):
     lines = ["# pydem_tpu benchmark report", "",
              "Regenerated by every `python bench.py` run.  Metrics per "
              "BASELINE.json configs; one TPU v5e chip via the "
@@ -434,6 +434,7 @@ def full_report(primary, hard):
              "Correctness gate (blocked Pallas == XLA jacobi, values + NaN "
              "pattern, before timing): %s" % primary["detail"]["gate"], ""]
     v, dt = bench_slope_only(N_TPU)
+    mark("report: slope-only done")
     lines.append("- slope/aspect only (%d²): **%.1f Mpx/s** (%.4f s)"
                  % (N_TPU, v / 1e6, dt))
     lines.append("- full chain slope+UCA+TWI (%d² cone): **%.1f Mpx/s** "
@@ -449,6 +450,7 @@ def full_report(primary, hard):
                          "%d UCA rounds)" % (v / 1e6, dt, sweeps))
         except Exception as e:
             lines.append("- full chain (4096²): failed (%r)" % e)
+        mark("report: 4096 scaling point done")
     lines.append("- hard terrain full chain incl. conditioning (%d², "
                  "quantized noisy cone + sea notch): **%.2f Mpx/s** "
                  "(%.2f s, vs reference on the same terrain: **%.1fx**)"
@@ -462,10 +464,12 @@ def full_report(primary, hard):
                      % (oocv / 1e6, oocdt, oocr, oocv / primary["value"]))
     except Exception as e:
         lines.append("- out-of-core bench failed: %r" % e)
+    mark("report: out-of-core done")
     try:
         lines.extend(bench_stages(N_TPU))
     except Exception as e:
         lines.append("(stage roofline failed: %r)" % e)
+    mark("report: stage roofline done")
     lines += ["", "## CPU-virtual-mesh scaling (honest multi-chip stand-in; "
               "512² canvas equivalent at 256² here, interpret-mode Pallas "
               "so absolute times are NOT TPU times)", ""]
@@ -473,6 +477,7 @@ def full_report(primary, hard):
         lines.extend(mesh_scaling_table())
     except Exception as e:
         lines.append("(sweep failed: %r)" % e)
+    mark("report: mesh scaling done")
     lines.append("")
     lines.append("Multi-chip: single chip available here; sharded-equivalence"
                  " is validated on an 8-device CPU mesh (tests/test_sharded"
@@ -489,16 +494,24 @@ def full_report(primary, hard):
 
 def main():
     _enable_compile_cache()
+    t_start = time.perf_counter()
+
+    def mark(what):
+        print("[bench +%6.1fs] %s" % (time.perf_counter() - t_start, what),
+              file=sys.stderr)
 
     gate = gate_blocked_vs_jacobi(min(N_TPU, 2048))
     print("correctness gate: %s" % gate, file=sys.stderr)
+    mark("gate done")
 
     value, dt, sweeps, platform, t_one = bench_tpu(N_TPU)
+    mark("headline done")
 
     baseline = _baseline("cone_%d_px_per_s" % N_REF, bench_reference, N_REF)
     vs = (value / baseline) if baseline else None
 
     hard_v, hard_dt, _dp = bench_hard_terrain(N_HARD)
+    mark("hard terrain done")
     hard_base = _baseline("hard_%d_px_per_s" % N_HARD, bench_reference,
                           N_HARD, hard=True)
     hard = {"n": N_HARD, "px_per_s": hard_v, "seconds": hard_dt,
@@ -551,7 +564,7 @@ def main():
 
     if "--skip-report" not in sys.argv:
         try:
-            full_report(primary, hard)
+            full_report(primary, hard, mark)
         except Exception as e:
             print("report generation failed: %r" % e, file=sys.stderr)
     print(json.dumps(primary))
