@@ -382,7 +382,8 @@ def bench_ooc(n=8192, superblock=4096):
     try:
         store = ArrayStore(os.path.join(work, "results.zarr"))
         store.create("elev_src", (n, n), "float64",
-                     chunks=(superblock, superblock), fill=np.nan)
+                     chunks=(superblock, superblock), fill=np.nan,
+                     compress=False)
         S = superblock
         x, y = np.mgrid[-1:1:complex(0, n), -1:1:complex(0, n)]
         for i0 in range(0, n, S):

@@ -12,8 +12,13 @@ from __future__ import annotations
 import json
 import os
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+# shared pool for chunk-file IO: file reads/writes and zlib release the GIL,
+# so multi-chunk windows stream at near-device-bandwidth
+_IO_POOL = ThreadPoolExecutor(max_workers=8)
 
 _DTYPE_MAP = {
     "float64": "<f8", "float32": "<f4", "int64": "<i8", "int32": "<i4",
@@ -136,17 +141,25 @@ class ArrayStore:
         ic0, ic1 = max(c0, 0), min(c1, m)
         if ir0 >= ir1 or ic0 >= ic1:
             return out
-        for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1):
-            for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1):
-                blk = self._read_chunk(name, meta, ci, cj)
-                # intersection of this chunk with the in-bounds window
-                gr0 = max(ir0, ci * ch0)
-                gr1 = min(ir1, (ci + 1) * ch0, n)
-                gc0 = max(ic0, cj * ch1)
-                gc1 = min(ic1, (cj + 1) * ch1, m)
-                out[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0] = \
-                    blk[gr0 - ci * ch0: gr1 - ci * ch0,
-                        gc0 - cj * ch1: gc1 - cj * ch1]
+
+        def one(ci, cj):
+            blk = self._read_chunk(name, meta, ci, cj)
+            # intersection of this chunk with the in-bounds window
+            gr0 = max(ir0, ci * ch0)
+            gr1 = min(ir1, (ci + 1) * ch0, n)
+            gc0 = max(ic0, cj * ch1)
+            gc1 = min(ic1, (cj + 1) * ch1, m)
+            out[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0] = \
+                blk[gr0 - ci * ch0: gr1 - ci * ch0,
+                    gc0 - cj * ch1: gc1 - cj * ch1]
+
+        jobs = [(ci, cj)
+                for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1)
+                for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1)]
+        if len(jobs) > 1:
+            list(_IO_POOL.map(lambda a: one(*a), jobs))
+        else:
+            one(*jobs[0])
         return out
 
     def write_window(self, name, data, offset):
@@ -162,22 +175,30 @@ class ArrayStore:
         ic0, ic1 = max(c0, 0), min(c1, m)
         if ir0 >= ir1 or ic0 >= ic1:
             return
-        for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1):
-            for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1):
-                gr0 = max(ir0, ci * ch0)
-                gr1 = min(ir1, (ci + 1) * ch0, n)
-                gc0 = max(ic0, cj * ch1)
-                gc1 = min(ic1, (cj + 1) * ch1, m)
-                full_cover = (gr0 == ci * ch0 and gc0 == cj * ch1
-                              and gr1 - gr0 == ch0 and gc1 - gc0 == ch1)
-                if full_cover:
-                    blk = data[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0]
-                else:
-                    blk = self._read_chunk(name, meta, ci, cj)
-                    blk[gr0 - ci * ch0: gr1 - ci * ch0,
-                        gc0 - cj * ch1: gc1 - cj * ch1] = \
-                        data[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0]
-                self._write_chunk(name, meta, ci, cj, blk.astype(dtype))
+
+        def one(ci, cj):
+            gr0 = max(ir0, ci * ch0)
+            gr1 = min(ir1, (ci + 1) * ch0, n)
+            gc0 = max(ic0, cj * ch1)
+            gc1 = min(ic1, (cj + 1) * ch1, m)
+            full_cover = (gr0 == ci * ch0 and gc0 == cj * ch1
+                          and gr1 - gr0 == ch0 and gc1 - gc0 == ch1)
+            if full_cover:
+                blk = data[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0]
+            else:
+                blk = self._read_chunk(name, meta, ci, cj)
+                blk[gr0 - ci * ch0: gr1 - ci * ch0,
+                    gc0 - cj * ch1: gc1 - cj * ch1] = \
+                    data[gr0 - r0: gr1 - r0, gc0 - c0: gc1 - c0]
+            self._write_chunk(name, meta, ci, cj, blk.astype(dtype))
+
+        jobs = [(ci, cj)
+                for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1)
+                for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1)]
+        if len(jobs) > 1:
+            list(_IO_POOL.map(lambda a: one(*a), jobs))
+        else:
+            one(*jobs[0])
 
     def _write_full(self, name, data, meta):
         d = self._adir(name)

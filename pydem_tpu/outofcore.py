@@ -121,6 +121,8 @@ class OutOfCoreEngine:
         self.margin = int(margin if margin is not None
                           else max(64, 2 * self.dp.drain_pits_max_dist))
         self.resume = resume
+        self.device_cache_bytes = int(
+            os.environ.get("PYDEM_OOC_DEVICE_CACHE", 4 << 30))
         n, m = self.shape
         self.nbi = -(-n // self.S)
         self.nbj = -(-m // self.S)
@@ -153,9 +155,22 @@ class OutOfCoreEngine:
         i0, j0 = bi * self.S, bj * self.S
         return (i0, min(i0 + self.S, n)), (j0, min(j0 + self.S, m))
 
+    @property
+    def _work_dtype(self):
+        """Storage dtype for device-produced intermediates: they are f32
+        numerics anyway when x64 is off (TPU), so storing f64 would double
+        the IO volume for zero extra precision."""
+        return "float64" if jax.config.jax_enable_x64 else "float32"
+
     def _create(self, name, dtype="float64", fill=np.nan):
-        self.store.create(name, self.shape, dtype, chunks=(self.S, self.S),
-                          fill=fill)
+        # sub-chunking below the super-block: a ±1-ring window read then
+        # touches ~((S/c)+1)² chunks of c² bytes (~1.2x amplification)
+        # instead of 4 full S² chunks (4x); compression is off — terrain
+        # float chunks are incompressible (zlib ~0.96 ratio at 28 MB/s vs
+        # ~1 GB/s raw disk), so zlib would dominate the whole pipeline
+        c = min(self.S, 1024)
+        self.store.create(name, self.shape, dtype, chunks=(c, c), fill=fill,
+                          compress=False)
 
     def _flags(self, stage):
         key = "_oocore_%s" % stage
@@ -183,7 +198,8 @@ class OutOfCoreEngine:
         dp = self.dp
         self._create(dst)
         done = self._flags("condition")
-        M = self.margin
+        # no conditioning ops -> plain re-chunking copy, no margin context
+        M = self.margin if (dp.fill_flats or dp.drain_pits_path) else 0
         n, m = self.shape
         for bi, bj in self._blocks():
             if (bi, bj) in done:
@@ -216,7 +232,7 @@ class OutOfCoreEngine:
     def slope_direction(self, src="elev"):
         O = 4  # stencil context: mag radius 1 + flat extension radius 1 + pad
         for name in ("slope", "aspect"):
-            self._create(name)
+            self._create(name, self._work_dtype)
         self._create("flats", "bool", fill=False)
         done = self._flags("slope")
         n, m = self.shape
@@ -326,7 +342,7 @@ class OutOfCoreEngine:
         if not (self.resume and "uca_state" in self.store
                 and os.path.exists(state_fn)):
             # init state = base area
-            self._create("uca_state", fill=0.0)
+            self._create("uca_state", self._work_dtype, fill=0.0)
             for bi, bj in self._blocks():
                 (i0, i1), (j0, j1) = self._interior(bi, bj)
                 self.store.write_window(
@@ -347,22 +363,42 @@ class OutOfCoreEngine:
         theta_rows = np.pad(self.theta, (1, self.nbi * S - n + 1),
                             mode="edge")
 
+        # Device-side cache of the per-block static windows (elev, aspect,
+        # flats, theta, base): only the state ring changes between rounds,
+        # so re-shipping ~3 canvas windows per visit through the host link
+        # every round is pure waste.  Bounded: enabled only when the whole
+        # set fits the budget, so the engine stays O(S²)-host / O(budget)-
+        # device.
+        dev_cache = {}
+        est = self.nbi * self.nbj * (9 * (S + 2) ** 2 + 4 * S * S)
+        use_cache = est <= self.device_cache_bytes
+
         def read_block(bi, bj, contrib):
-            """All store windows one super-block visit needs (host IO)."""
+            """All inputs one super-block visit needs (host IO + cache)."""
             (i0, i1), (j0, j1) = self._interior(bi, bj)
-            base_eff = self._base_block(bi, bj)
+            x_win = self.store.read_window(
+                "uca_state", (i0 - 1, i0 + S + 1), (j0 - 1, j0 + S + 1))
+            key = (bi, bj)
+            if key in dev_cache:
+                e_d, a_d, f_d, th_d, base_d = dev_cache[key]
+            else:
+                e_d = jnp.asarray(self._window("elev", bi, bj))
+                a_d = jnp.asarray(self._window("aspect", bi, bj))
+                f_d = jnp.asarray(self._window("flats", bi, bj))
+                th_d = jnp.asarray(theta_rows[i0: i0 + S + 2])
+                base_d = (None if has_pits
+                          else jnp.asarray(self._base_block(bi, bj)))
+                if use_cache:
+                    dev_cache[key] = (e_d, a_d, f_d, th_d, base_d)
             if has_pits:
+                base_eff = self._base_block(bi, bj)
                 di, dj = dst // m, dst % m
                 sel = ((di >= i0) & (di < i1) & (dj >= j0) & (dj < j1))
                 if sel.any():
                     np.add.at(base_eff, (di[sel] - i0, dj[sel] - j0),
                               contrib[sel])
-            x_win = self.store.read_window(
-                "uca_state", (i0 - 1, i0 + S + 1), (j0 - 1, j0 + S + 1))
-            return (bi, bj, x_win, self._window("elev", bi, bj),
-                    self._window("aspect", bi, bj),
-                    self._window("flats", bi, bj),
-                    theta_rows[i0: i0 + S + 2], base_eff)
+                base_d = jnp.asarray(base_eff)
+            return (bi, bj, x_win, e_d, a_d, f_d, th_d, base_d)
 
         def dispatch(blk, rounds):
             bi, bj, x_win, e, a, f, th, base_eff = blk
