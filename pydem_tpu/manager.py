@@ -245,6 +245,70 @@ class ProcessManager:
     def _resume_hit(self, key):
         return self.resume and key in self.out_file
 
+    # -- fault isolation / success bookkeeping -----------------------------
+    #
+    # The reference wraps every per-tile worker in try/except returning
+    # (0, traceback) (process_manager.py:69-70,195-196,282-283) and persists
+    # a per-tile per-stage boolean ``success`` array (:998-999) so a crashed
+    # run resumes by skipping finished work (:1274-1275).  Stages here are
+    # global-canvas programs, so the honest granularity is per *stage*: the
+    # success array keeps the reference's (n_inputs, 4) layout
+    # (columns: elevation, aspect_slope, uca, twi) and a stage's column is
+    # set for all tiles the moment that stage's outputs are durably in the
+    # store — never before.  A stage exception is captured with its
+    # traceback into <store>/errors.json (the (0, traceback) analog), the
+    # bookkeeping is persisted, and the error re-raised; a later
+    # ``resume=True`` run redoes only the unfinished stages, bit-identically
+    # (stages are deterministic functions of the stored inputs).
+    _SUCCESS_STAGES = ("elevation", "aspect_slope", "uca", "twi")
+
+    def _success_init(self):
+        if "success" in self.out_file and self.resume:
+            s = self.out_file["success"]
+            if s.shape == (self.n_inputs, 4):
+                return s
+        s = np.zeros((self.n_inputs, 4), bool)
+        self.out_file["success"] = s
+        return s
+
+    def _mark_success(self, stage):
+        s = self.out_file["success"] if "success" in self.out_file \
+            else np.zeros((self.n_inputs, 4), bool)
+        if s.shape != (self.n_inputs, 4):
+            s = np.zeros((self.n_inputs, 4), bool)
+        s[:, self._SUCCESS_STAGES.index(stage)] = True
+        self.out_file["success"] = s
+
+    def _record_error(self, stage, exc):
+        import json
+        import traceback
+
+        entry = {"stage": stage,
+                 "error": repr(exc),
+                 "traceback": traceback.format_exc()}
+        fn = os.path.join(self.out_path, "errors.json")
+        log = []
+        if os.path.exists(fn):
+            try:
+                with open(fn) as f:
+                    log = json.load(f)
+            except Exception:
+                log = []
+        log.append(entry)
+        with open(fn, "w") as f:
+            json.dump(log, f, indent=2)
+
+    def _stage_guarded(self, stage, fn):
+        """Run one pipeline stage with worker-style fault capture."""
+        try:
+            out = fn()
+        except Exception as exc:
+            self._record_error(stage, exc)
+            self._dump_metrics()
+            raise
+        self._mark_success(stage)
+        return out
+
     def process_elevation(self, indices=None):
         if self.grid_shape is None:
             self.compute_grid()
@@ -296,9 +360,19 @@ class ProcessManager:
         return dp.mag, dp.direction
 
     def process_uca(self, indices=None):
+        import json
+
         dp = self._processor()
+        state_fn = os.path.join(self.out_path, "_uca_state.json")
         if self._resume_hit("uca"):
             dp.uca = self.out_file["uca"]
+            # restore the solve-time scalars TWI depends on (twi_min_area
+            # feeds the saturation caps) so a resumed TWI is bit-identical
+            if os.path.exists(state_fn):
+                with open(state_fn) as f:
+                    st = json.load(f)
+                dp.twi_min_area = min(dp.twi_min_area, st["twi_min_area"])
+                dp.uca_sweeps = st.get("uca_sweeps", -1)
             return dp.uca
         with self.timer.stage("uca"):
             if self.mesh is not None:
@@ -331,6 +405,9 @@ class ProcessManager:
         self.out_file["uca"] = dp.uca
         self.out_file["edge_todo"] = np.zeros(dp.uca.shape, bool)
         self.out_file["edge_done"] = np.ones(dp.uca.shape, bool)
+        with open(state_fn, "w") as f:
+            json.dump({"twi_min_area": float(dp.twi_min_area),
+                       "uca_sweeps": int(getattr(dp, "uca_sweeps", -1))}, f)
         return dp.uca
 
     def process_uca_edges(self, indices=None):
@@ -392,8 +469,7 @@ class ProcessManager:
         with self.timer.stage("ingest"):
             self._ingest_out_of_core(eng.S)
         eng.run()
-        self.out_file["success"] = np.ones((self.n_inputs,), bool) \
-            .reshape(-1, 1)
+        self.out_file["success"] = np.ones((self.n_inputs, 4), bool)
         self._dump_metrics()
         return self.out_file
 
@@ -402,17 +478,25 @@ class ProcessManager:
             return self._process_twi_out_of_core()
         if self.grid_shape is None:
             self.compute_grid()
-        self.process_elevation()
-        self.process_aspect_slope()
-        self.process_uca()
+        self._success_init()
+        self._stage_guarded("elevation", self.process_elevation)
+        self._stage_guarded("aspect_slope", self.process_aspect_slope)
+        self._stage_guarded("uca", self.process_uca)
         self.process_uca_edges()
         dp = self._processor()
-        with self.timer.stage("twi"):
-            dp.calc_twi()
-        self.out_file["twi"] = dp.twi
-        self.out_file["success"] = np.ones((self.n_inputs,), bool).reshape(-1, 1)
+
+        def _twi():
+            if self._resume_hit("twi"):
+                dp.twi = self.out_file["twi"]
+                return dp.twi
+            with self.timer.stage("twi"):
+                dp.calc_twi()
+            self.out_file["twi"] = dp.twi
+            return dp.twi
+
+        twi = self._stage_guarded("twi", _twi)
         self._dump_metrics()
-        return dp.twi
+        return twi
 
     def _dump_metrics(self):
         """Persist run observability into the store (BASELINE.md metrics:

@@ -183,96 +183,170 @@ def accumulate_blocked(base, W, B=256, inner_max=None, max_rounds=100_000,
 # canvases, no per-orientation weight copies, no exploded tiles.
 _FLIPS = ((False, False), (True, True), (False, True), (True, False))
 
+# Compact receiver encoding: every pixel has at most TWO nonzero outgoing
+# weights (its D∞ facet pair, dem_processing.py:1021-1070), so the 8 dense
+# weight planes compress to one packed index plane K = k1*16 + k2 (k in 0..7;
+# 15 = "no edge") plus ONE weight plane W1 — the slot-2 weight is recovered
+# in-kernel as 1 - W1, bitwise identical to the dense plane because the
+# slots are ordered so that complement holds (receiver_weights computes the
+# facet pair as (proportion, 1.0 - proportion)).  This cuts the GS block
+# kernel's HBM traffic from x + 8 weight planes to x + 2 planes per visit.
+_NO_EDGE = 15
 
-def _gs_kernel(xp_hbm, w_hbm, base_ref, xp_out, chg_ref, x_s, w_s, x0_s,
-               sem_in, sem_w, sem_out, *, B, inner_max, nb_i, nb_j,
-               flip_i, flip_j, subset):
+
+def compact_from_dense(W):
+    """Compress dense (8, n, m) receiver planes to ``(K, W1)``.
+
+    Contract: each pixel has ≤2 nonzero entries across k, and when two exist
+    they are complementary (w_a + w_b == 1 with one of them computed as
+    ``1.0 - other`` — true for every W built by ``core.receivers``).  The
+    two slots are ordered so that ``1 - W1`` reproduces the second weight
+    bitwise; pixels violating the complement contract in BOTH orders would
+    lose ~1 ulp on the second weight (cannot occur for D∞ facet weights).
+    """
+    shape = W.shape[1:]
+    k1 = jnp.full(shape, _NO_EDGE, jnp.int32)
+    k2 = jnp.full(shape, _NO_EDGE, jnp.int32)
+    w1 = jnp.zeros(shape, W.dtype)
+    w2 = jnp.zeros(shape, W.dtype)
+    for k in range(8):
+        wk = W[k]
+        nz = wk != 0
+        t1 = nz & (k1 == _NO_EDGE)
+        k1 = jnp.where(t1, k, k1)
+        w1 = jnp.where(t1, wk, w1)
+        t2 = nz & ~t1 & (k2 == _NO_EDGE)
+        k2 = jnp.where(t2, k, k2)
+        w2 = jnp.where(t2, wk, w2)
+    both = k2 != _NO_EDGE
+    one = W.dtype.type(1)
+    swap = both & (one - w1 != w2) & (one - w2 == w1)
+    k1f = jnp.where(swap, k2, k1)
+    w1f = jnp.where(swap, w2, w1)
+    k2f = jnp.where(swap, k1, k2)
+    K = k1f * 16 + jnp.where(both, k2f, _NO_EDGE)
+    return K, w1f
+
+
+def _expand_compact(K, w1, out_planes):
+    """Expand (K, W1) windows into the 8 per-neighbor weight planes, writing
+    ``out_planes[k]`` (a VMEM scratch).  Runs once per block visit."""
+    k1 = K >> 4
+    k2 = K & 15
+    w2 = jnp.where(k2 != _NO_EDGE, 1 - w1, jnp.zeros_like(w1))
+    for k in range(8):
+        out_planes[k] = (jnp.where(k1 == k, w1, 0)
+                         + jnp.where(k2 == k, w2, 0))
+
+
+def _subset_grid(nb_i, nb_j, subset):
+    """Grid shape for a GS round restricted to ``subset`` blocks."""
+    if subset == "all":
+        return (nb_i, nb_j)
+    if subset == "interior":
+        return (nb_i - 2, nb_j - 2)
+    return (1, 2 * nb_j + 2 * (nb_i - 2))  # boundary frame, row-major-ish
+
+
+def _gs_kernel(xp_hbm, k_hbm, w1_hbm, base_hbm, xp_out, chg_ref, x_s, k_s,
+               w1_s, base_s, w_s, x0_s, sem_in, sem_k, sem_w, sem_b,
+               sem_out, *, B, inner_max, nb_i, nb_j, flip_i, flip_j,
+               subset):
     """Gauss-Seidel block step: read the halo window of the LIVE (aliased)
-    canvas and the weight window straight from HBM, relax in VMEM until the
-    block stops changing, write the interior back.  ``flip_i/flip_j``
+    canvas and the COMPACT receiver windows (packed index plane + one weight
+    plane, see :func:`compact_from_dense`) straight from HBM, expand the
+    weights to 8 per-neighbor planes in VMEM, relax in VMEM until the block
+    stops changing, write the interior back.  ``flip_i/flip_j``
     statically reverse the block visit order (the corner-sweep orientation).
 
     ``subset`` restricts which blocks relax: "all", "interior" (blocks not
-    touching the canvas edge), or "boundary" (the complement).  The sharded
-    caller runs interior blocks while the next halo ppermute is in flight,
-    then boundary blocks after it lands (parallel.sharded.accumulate_sharded
-    — the halo/compute overlap).  Skipped blocks cost one predicate and a
-    zero flag write.
+    touching the canvas edge, visited on an (nb_i-2)×(nb_j-2) grid), or
+    "boundary" (the frame, visited on a 1×(2·nb_j + 2·(nb_i-2)) grid).  The
+    sharded caller runs interior blocks while the next halo ppermute is in
+    flight, then boundary blocks after it lands
+    (parallel.sharded.accumulate_sharded — the halo/compute overlap).  Each
+    call touches ONLY its own blocks — a subset round costs its share of
+    the full round, not a predicated full pass.
     """
     del xp_hbm  # aliased with xp_out; read the output ref for fresh values
     i = pl.program_id(0)
     j = pl.program_id(1)
-    bi = (nb_i - 1 - i) if flip_i else i
-    bj = (nb_j - 1 - j) if flip_j else j
+    if subset == "all":
+        bi0, bj0 = i, j
+    elif subset == "interior":
+        bi0, bj0 = i + 1, j + 1
+    else:  # boundary: top row, bottom row, then left/right columns
+        t = j
+        side = t - 2 * nb_j
+        bi0 = jnp.where(t < nb_j, 0,
+                        jnp.where(t < 2 * nb_j, nb_i - 1, 1 + side // 2))
+        bj0 = jnp.where(t < nb_j, t,
+                        jnp.where(t < 2 * nb_j, t - nb_j,
+                                  (side % 2) * (nb_j - 1)))
+    bi = (nb_i - 1 - bi0) if flip_i else bi0
+    bj = (nb_j - 1 - bj0) if flip_j else bj0
 
-    def _guard(run):
-        if subset == "all":
-            run()
-            return
-        on_edge = ((bi == 0) | (bi == nb_i - 1)
-                   | (bj == 0) | (bj == nb_j - 1))
-        is_mine = on_edge if subset == "boundary" else ~on_edge
+    read = pltpu.make_async_copy(
+        xp_out.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
+        x_s, sem_in)
+    read.start()
+    kread = pltpu.make_async_copy(
+        k_hbm.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
+        k_s, sem_k)
+    kread.start()
+    wread = pltpu.make_async_copy(
+        w1_hbm.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
+        w1_s, sem_w)
+    wread.start()
+    bread = pltpu.make_async_copy(
+        base_hbm.at[pl.ds(bi * B, B), pl.ds(bj * B, B)], base_s, sem_b)
+    bread.start()
+    read.wait()
+    kread.wait()
+    wread.wait()
+    bread.wait()
+    _expand_compact(k_s[:], w1_s[:], w_s)
+    x0_s[:] = x_s[HR: HR + B, HC: HC + B]
+    base = base_s[:]
 
-        @pl.when(~is_mine)
-        def _skip():
-            chg_ref[bi, bj] = 0
+    def sweep():
+        # canonical neighbor order everywhere -> the f32 accumulation is
+        # bitwise identical across orientations, so the fixed point is
+        # orientation-stable and rounds go quiescent
+        x = x_s[:]
+        w = w_s[:]
+        acc = base
+        for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
+            r0, c0 = HR - di, HC - dj
+            acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
+                         * x[r0: r0 + B, c0: c0 + B])
+        changed = jnp.any(acc != x[HR: HR + B, HC: HC + B])
+        x_s[HR: HR + B, HC: HC + B] = acc
+        return changed
 
-        pl.when(is_mine)(run)
+    def cond(state):
+        it, changed = state
+        return jnp.logical_and(it < inner_max, changed)
 
-    @_guard
-    def _run():
-        read = pltpu.make_async_copy(
-            xp_out.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
-            x_s, sem_in)
-        read.start()
-        wread = pltpu.make_async_copy(
-            w_hbm.at[:, pl.ds(bi * B, B + 2 * HR),
-                     pl.ds(bj * B, B + 2 * HC)],
-            w_s, sem_w)
-        wread.start()
-        read.wait()
-        wread.wait()
-        x0_s[:] = x_s[HR: HR + B, HC: HC + B]
-        base = base_ref[:]
+    def body(state):
+        it, _changed = state
+        for _ in range(3):
+            sweep()
+        return it + 4, sweep()
 
-        def sweep():
-            # canonical neighbor order everywhere -> the f32 accumulation is
-            # bitwise identical across orientations, so the fixed point is
-            # orientation-stable and rounds go quiescent
-            x = x_s[:]
-            w = w_s[:]
-            acc = base
-            for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
-                r0, c0 = HR - di, HC - dj
-                acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
-                             * x[r0: r0 + B, c0: c0 + B])
-            changed = jnp.any(acc != x[HR: HR + B, HC: HC + B])
-            x_s[HR: HR + B, HC: HC + B] = acc
-            return changed
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
 
-        def cond(state):
-            it, changed = state
-            return jnp.logical_and(it < inner_max, changed)
-
-        def body(state):
-            it, _changed = state
-            for _ in range(3):
-                sweep()
-            return it + 4, sweep()
-
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
-
-        write = pltpu.make_async_copy(
-            x_s.at[pl.ds(HR, B), pl.ds(HC, B)],
-            xp_out.at[pl.ds(bi * B + HR, B), pl.ds(bj * B + HC, B)],
-            sem_out)
-        write.start()
-        write.wait()
-        chg_ref[bi, bj] = jnp.any(
-            x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
+    write = pltpu.make_async_copy(
+        x_s.at[pl.ds(HR, B), pl.ds(HC, B)],
+        xp_out.at[pl.ds(bi * B + HR, B), pl.ds(bj * B + HC, B)],
+        sem_out)
+    write.start()
+    write.wait()
+    chg_ref[i, j] = jnp.any(
+        x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
 
 
-def _gs_round(xp, w_pad, base, *, B, inner_max, interpret,
+def _gs_round(xp, k_pad, w1_pad, base, *, B, inner_max, interpret,
               flips=(False, False), subset="all"):
     """One Gauss-Seidel round over the padded canvas (updated in place via
     aliasing) at the statically-flipped block order.  Returns
@@ -284,31 +358,35 @@ def _gs_round(xp, w_pad, base, *, B, inner_max, interpret,
     kernel = functools.partial(_gs_kernel, B=B, inner_max=inner_max,
                                nb_i=nb_i, nb_j=nb_j, flip_i=fi, flip_j=fj,
                                subset=subset)
-
-    def base_idx(i, j):
-        return ((nb_i - 1 - i) if fi else i, (nb_j - 1 - j) if fj else j)
+    grid = _subset_grid(nb_i, nb_j, subset)
 
     xp_new, changed = pl.pallas_call(
         kernel,
-        grid=(nb_i, nb_j),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # live canvas (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # padded weights
-            pl.BlockSpec((B, B), base_idx),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed receiver indices
+            pl.BlockSpec(memory_space=pltpu.ANY),  # slot-1 weights
+            pl.BlockSpec(memory_space=pltpu.ANY),  # base area
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((nb_i, nb_j), lambda i, j: (0, 0),
+            pl.BlockSpec(grid, lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((np_, mp_), xp.dtype),
-            jax.ShapeDtypeStruct((nb_i, nb_j), jnp.int32),
+            jax.ShapeDtypeStruct(grid, jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((B + 2 * HR, B + 2 * HC), xp.dtype),
+            pltpu.VMEM((B + 2 * HR, B + 2 * HC), k_pad.dtype),
+            pltpu.VMEM((B + 2 * HR, B + 2 * HC), xp.dtype),
+            pltpu.VMEM((B, B), xp.dtype),
             pltpu.VMEM((8, B + 2 * HR, B + 2 * HC), xp.dtype),
             pltpu.VMEM((B, B), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -317,15 +395,16 @@ def _gs_round(xp, w_pad, base, *, B, inner_max, interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(xp, w_pad, base)
+    )(xp, k_pad, w1_pad, base)
     return xp_new, changed
 
 
-def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret,
+def gs_round_oriented(xp, k_pad, w1_pad, base, o, *, B, inner_max, interpret,
                       subset="all"):
     """One Gauss-Seidel round at orientation ``o`` (0..3, traced) over the
-    (HR, HC)-padded canvas ``xp``.  ``w_pad`` is the (HR, HC)-padded weight
-    tensor; orientation selects one of 4 statically-compiled block-visit
+    (HR, HC)-padded canvas ``xp``.  ``k_pad``/``w1_pad`` are the
+    (HR, HC)-padded compact receiver planes (:func:`compact_from_dense`);
+    orientation selects one of 4 statically-compiled block-visit
     orders (lax.switch), touching no data.  Returns (new xp, changed count).
 
     The pad ring of ``xp`` is treated as frozen inflow: zeros for a lone
@@ -336,7 +415,8 @@ def gs_round_oriented(xp, w_pad, base, o, *, B, inner_max, interpret,
     def mk(i):
         def run(ops):
             xp, b_eff = ops
-            xp, chg = _gs_round(xp, w_pad, b_eff, B=B, inner_max=inner_max,
+            xp, chg = _gs_round(xp, k_pad, w1_pad, b_eff, B=B,
+                                inner_max=inner_max,
                                 interpret=interpret, flips=_FLIPS[i],
                                 subset=subset)
             return xp, jnp.sum(chg)
@@ -357,10 +437,13 @@ def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
     if inner_max is None:
         inner_max = 2 * B + 4
 
-    w_pad = jnp.pad(W, ((0, 0), (HR, HR), (HC, HC)))
+    K, W1 = compact_from_dense(W)
+    k_pad = jnp.pad(K, ((HR, HR), (HC, HC)),
+                    constant_values=_NO_EDGE * 16 + _NO_EDGE)
+    w1_pad = jnp.pad(W1, ((HR, HR), (HC, HC)))
 
     def one_round(o, xp, b_eff):
-        return gs_round_oriented(xp, w_pad, b_eff, o, B=B,
+        return gs_round_oriented(xp, k_pad, w1_pad, b_eff, o, B=B,
                                  inner_max=inner_max, interpret=interpret)
 
     def interior(xp):

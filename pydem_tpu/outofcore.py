@@ -47,7 +47,7 @@ from .api import DEMProcessor, _slope_program
 from .core import conditioning as cond
 from .core.receivers import receiver_weights, section_proportion
 from .core.twi import twi as twi_fn
-from .ops.uca_block import HC, HR, gs_round_oriented
+from .ops.uca_block import HC, HR, compact_from_dense, gs_round_oriented
 
 # block-visit corner orders per outer round (matches ops.uca_block._FLIPS)
 _SWEEP_FLIPS = ((False, False), (True, True), (False, True), (True, False))
@@ -76,12 +76,16 @@ def _sb_uca_solve(x_win, elev_win, dir_win, flats_win, theta_win, base_eff,
     dt = x_win.dtype
     xp = jnp.zeros((S + 2 * HR, S + 2 * HC), dt)
     xp = xp.at[HR - 1: HR + S + 1, HC - 1: HC + S + 1].set(x_win)
-    wp = jnp.zeros((8, S + 2 * HR, S + 2 * HC), dt)
-    wp = wp.at[:, HR - 1: HR + S + 1, HC - 1: HC + S + 1].set(
-        W.astype(dt))
+    K, W1 = compact_from_dense(W)
+    # pad background x is zero, so the background K value is inert; keep the
+    # real compact planes on the (S+2)² window
+    kp = jnp.zeros((S + 2 * HR, S + 2 * HC), K.dtype)
+    kp = kp.at[HR - 1: HR + S + 1, HC - 1: HC + S + 1].set(K)
+    w1p = jnp.zeros((S + 2 * HR, S + 2 * HC), dt)
+    w1p = w1p.at[HR - 1: HR + S + 1, HC - 1: HC + S + 1].set(W1.astype(dt))
 
     x0 = x_win[1:-1, 1:-1]
-    xp, chg = gs_round_oriented(xp, wp, base_eff, o0 % 4, B=B,
+    xp, chg = gs_round_oriented(xp, kp, w1p, base_eff, o0 % 4, B=B,
                                 inner_max=inner_max, interpret=interpret)
 
     def cond_fn(state):
@@ -90,8 +94,9 @@ def _sb_uca_solve(x_win, elev_win, dir_win, flats_win, theta_win, base_eff,
 
     def body(state):
         xp, _c, r = state
-        xp, chg = gs_round_oriented(xp, wp, base_eff, (o0 + r) % 4, B=B,
-                                    inner_max=inner_max, interpret=interpret)
+        xp, chg = gs_round_oriented(xp, kp, w1p, base_eff, (o0 + r) % 4,
+                                    B=B, inner_max=inner_max,
+                                    interpret=interpret)
         return xp, chg, r + 1
 
     xp, _, rounds = jax.lax.while_loop(cond_fn, body, (xp, chg, jnp.int32(1)))

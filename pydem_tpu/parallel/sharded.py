@@ -178,7 +178,7 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
 
     from jax.experimental.shard_map import shard_map
 
-    from ..ops.uca_block import HC, HR, gs_round_oriented
+    from ..ops.uca_block import HC, HR, compact_from_dense, gs_round_oriented
 
     n, m = base.shape
     gy, gx = mesh.devices.shape
@@ -233,14 +233,20 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
             return write_ring(xp, ring_of(xp))
 
         # ring pixels can *send* into this shard, so their weights must be
-        # present locally too; they are constant — exchange once
-        w_pad = exchange(jnp.pad(W_l, ((0, 0), (HR, HR), (HC, HC))))
+        # present locally too; they are constant — exchange once.  Compact
+        # planes (ops.uca_block.compact_from_dense); ring cells of canvas-
+        # boundary shards receive ppermute zero-fill (K=0 decodes to a
+        # bogus weight) but their x ring is identically zero, so they
+        # contribute nothing.
+        K_l, W1_l = compact_from_dense(W_l)
+        k_pad = exchange(jnp.pad(K_l, ((HR, HR), (HC, HC))))
+        w1_pad = exchange(jnp.pad(W1_l, ((HR, HR), (HC, HC))))
 
         def one_round(o, xp):
             if not split:
                 xp = exchange(xp)
-                xp, chg = gs_round_oriented(xp, w_pad, base_l, o, B=B,
-                                            inner_max=inner_max,
+                xp, chg = gs_round_oriented(xp, k_pad, w1_pad, base_l, o,
+                                            B=B, inner_max=inner_max,
                                             interpret=interpret)
                 return xp, jax.lax.psum(chg, ("y", "x"))
             # overlapped: the ppermutes depend only on the INCOMING canvas,
@@ -248,12 +254,12 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
             # concurrently; boundary blocks then relax against the landed
             # ring
             rings = ring_of(xp)
-            xp, chg_i = gs_round_oriented(xp, w_pad, base_l, o, B=B,
+            xp, chg_i = gs_round_oriented(xp, k_pad, w1_pad, base_l, o, B=B,
                                           inner_max=inner_max,
                                           interpret=interpret,
                                           subset="interior")
             xp = write_ring(xp, rings)
-            xp, chg_b = gs_round_oriented(xp, w_pad, base_l, o, B=B,
+            xp, chg_b = gs_round_oriented(xp, k_pad, w1_pad, base_l, o, B=B,
                                           inner_max=inner_max,
                                           interpret=interpret,
                                           subset="boundary")
@@ -293,7 +299,8 @@ def accumulate_sharded_pits(base, W, mesh, pit_src, pit_dst, pit_w, B=None,
     """
     from jax.experimental.shard_map import shard_map
 
-    from ..ops.uca_block import HC, HR, gs_round_oriented
+    from ..ops.uca_block import (HC, HR, compact_from_dense,
+                                 gs_round_oriented)
 
     n, m = base.shape
     gy, gx = mesh.devices.shape
@@ -330,9 +337,11 @@ def accumulate_sharded_pits(base, W, mesh, pit_src, pit_dst, pit_w, B=None,
             xp = xp.at[..., HR - 1: HR + n_l + 1, HC + m_l].set(right_ring)
             return xp
 
-        w_pad = exchange(jnp.pad(W_l, ((0, 0), (HR, HR), (HC, HC))))
+        K_l, W1_l = compact_from_dense(W_l)
+        k_pad = exchange(jnp.pad(K_l, ((HR, HR), (HC, HC))))
+        w1_pad = exchange(jnp.pad(W1_l, ((HR, HR), (HC, HC))))
         xp = exchange(jnp.pad(x_l, ((HR, HR), (HC, HC))))
-        xp, chg = gs_round_oriented(xp, w_pad, b_l, o, B=B,
+        xp, chg = gs_round_oriented(xp, k_pad, w1_pad, b_l, o, B=B,
                                     inner_max=inner_max, interpret=interpret)
         return (xp[HR: HR + n_l, HC: HC + m_l],
                 jax.lax.psum(chg, ("y", "x")))
@@ -493,7 +502,8 @@ def measure_halo_overlap(base, W, mesh, rounds=8, B=None, interpret=None):
 
     from jax.experimental.shard_map import shard_map
 
-    from ..ops.uca_block import HC, HR, gs_round_oriented
+    from ..ops.uca_block import (HC, HR, compact_from_dense,
+                                 gs_round_oriented)
 
     n, m = base.shape
     gy, gx = mesh.devices.shape
@@ -545,13 +555,15 @@ def measure_halo_overlap(base, W, mesh, rounds=8, B=None, interpret=None):
                 return write_ring(xp, ring_of(xp))
 
             split = (n_l // B) >= 3 and (m_l // B) >= 3
-            w_pad = exchange(jnp.pad(W_l, ((0, 0), (HR, HR), (HC, HC))))
+            K_l, W1_l = compact_from_dense(W_l)
+            k_pad = exchange(jnp.pad(K_l, ((HR, HR), (HC, HC))))
+            w1_pad = exchange(jnp.pad(W1_l, ((HR, HR), (HC, HC))))
             xp0 = jnp.pad(base_l, ((HR, HR), (HC, HC)))
 
             def relax(xp, r, subset="all"):
                 xp, _chg = gs_round_oriented(
-                    xp, w_pad, base_l, r % 4, B=B, inner_max=inner_max,
-                    interpret=interpret, subset=subset)
+                    xp, k_pad, w1_pad, base_l, r % 4, B=B,
+                    inner_max=inner_max, interpret=interpret, subset=subset)
                 return xp
 
             def body(r, xp):

@@ -168,3 +168,59 @@ def test_mosaic_overlap_disagreement_warns(tmp_path):
     pm.compute_grid()
     with pytest.warns(UserWarning, match="disagree"):
         pm._mosaic_elev()
+
+
+def test_crash_midstage_resume_bitidentical(tmp_path):
+    """Fault isolation (reference process_manager.py:69-70,998-999,
+    1274-1275): a stage exception is captured with its traceback into
+    errors.json, the per-stage success columns stay honest, and a
+    resume=True rerun continues from the stored stages to a bit-identical
+    result."""
+    import json
+
+    from pydem_tpu import api
+
+    manager.DEBUG = True
+    try:
+        chunks = fixtures.mk_test_multifile(TEST_NUM, NN, str(tmp_path),
+                                            nx_grid=2, ny_grid=2,
+                                            nx_overlap=2, ny_overlap=2)
+        # clean run for the golden result
+        clean_dir = str(tmp_path / "clean.zarr")
+        pm0 = manager.ProcessManager(in_path=chunks, out_path=clean_dir)
+        golden = np.array(pm0.process_twi())
+
+        # crashing run: UCA raises mid-pipeline
+        out_dir = str(tmp_path / "crashy.zarr")
+        pm1 = manager.ProcessManager(in_path=chunks, out_path=out_dir)
+        orig = api.DEMProcessor.calc_uca
+
+        def boom(self, *a, **k):
+            raise RuntimeError("injected UCA crash")
+
+        api.DEMProcessor.calc_uca = boom
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                pm1.process_twi()
+        finally:
+            api.DEMProcessor.calc_uca = orig
+
+        # bookkeeping is honest: elevation+aspect_slope succeeded, uca/twi
+        # did not; the traceback is captured
+        s = pm1.out_file["success"]
+        assert s.shape[1] == 4
+        assert s[:, 0].all() and s[:, 1].all()
+        assert not s[:, 2].any() and not s[:, 3].any()
+        with open(str(tmp_path / "crashy.zarr" / "errors.json")) as f:
+            errs = json.load(f)
+        assert errs[-1]["stage"] == "uca"
+        assert "injected UCA crash" in errs[-1]["traceback"]
+
+        # resume: redoes only uca+twi, reaching the clean result bitwise
+        pm2 = manager.ProcessManager(in_path=chunks, out_path=out_dir,
+                                     resume=True)
+        twi = np.array(pm2.process_twi())
+        np.testing.assert_array_equal(golden, twi)
+        assert pm2.out_file["success"].all()
+    finally:
+        manager.DEBUG = False

@@ -111,3 +111,66 @@ def test_blocked_with_pits_matches(testnum):
         np.testing.assert_array_almost_equal(
             np.where(both_nan, 0, ref_uca), np.where(both_nan, 0, got),
             decimal=8, err_msg=solver.__name__)
+
+
+def test_compact_from_dense_roundtrip():
+    """(K, W1) compact encoding expands back to the dense planes bitwise."""
+    from pydem_tpu.ops.uca_block import _NO_EDGE, compact_from_dense
+
+    n = 32
+    elev, _a, _u = fixtures.get_test_case(13, n)  # pits -> pruning exercised
+    elev = jnp.asarray(elev)
+    dX = dY = jnp.ones(n - 1)
+    mag, direction = slopes_directions(elev, dX, dY)
+    flats = find_flats_edges(elev, mag, direction)
+    direction = jnp.where(flats, -1, direction)
+    section, proportion = section_proportion(direction, flats, dX, dY)
+    W = receiver_weights(section, proportion, elev)
+    K, W1 = compact_from_dense(W)
+    k1, k2 = np.asarray(K) >> 4, np.asarray(K) & 15
+    w1 = np.asarray(W1)
+    w2 = np.where(k2 != _NO_EDGE, 1 - w1, 0.0)
+    dense = np.zeros_like(np.asarray(W))
+    for k in range(8):
+        dense[k] = np.where(k1 == k, w1, 0) + np.where(k2 == k, w2, 0)
+    np.testing.assert_array_equal(dense, np.asarray(W))
+
+
+def test_blocked_gs_split_subsets_match():
+    """interior-then-boundary subset rounds (the sharded overlap structure)
+    reach the same fixed point as the plain Jacobi solve."""
+    import jax
+
+    from pydem_tpu.ops.uca_block import (HC, HR, compact_from_dense,
+                                         gs_round_oriented)
+
+    n = 32
+    B = 8
+    elev, _a, _u = fixtures.get_test_case(33, n)
+    elev = jnp.asarray(elev)
+    dX = dY = jnp.ones(n - 1)
+    mag, direction = slopes_directions(elev, dX, dY)
+    flats = find_flats_edges(elev, mag, direction)
+    direction = jnp.where(flats, -1, direction)
+    section, proportion = section_proportion(direction, flats, dX, dY)
+    W = receiver_weights(section, proportion, elev)
+    base = base_area(jnp.ones(n), jnp.ones(n), elev.shape, elev.dtype)
+    ref, _sweeps = accumulate(base, W)
+
+    K, W1 = compact_from_dense(W)
+    kp = jnp.pad(K, ((HR, HR), (HC, HC)), constant_values=255)
+    w1p = jnp.pad(W1, ((HR, HR), (HC, HC)))
+    xp = jnp.pad(base, ((HR, HR), (HC, HC)))
+    for r in range(64):
+        o = jnp.int32(r % 4)
+        xp, chg_i = gs_round_oriented(xp, kp, w1p, base, o, B=B,
+                                      inner_max=2 * B + 4, interpret=True,
+                                      subset="interior")
+        xp, chg_b = gs_round_oriented(xp, kp, w1p, base, o, B=B,
+                                      inner_max=2 * B + 4, interpret=True,
+                                      subset="boundary")
+        if int(chg_i) + int(chg_b) == 0:
+            break
+    got = xp[HR: HR + n, HC: HC + n]
+    np.testing.assert_array_almost_equal(np.asarray(ref), np.asarray(got),
+                                         decimal=10)
