@@ -160,9 +160,13 @@ def bench_tpu(n, reps=5):
     sync0 = int(multi(elev, *args, reps=1))
     t_one = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    sync = int(multi(elev, *args, reps=reps))
-    dt = (time.perf_counter() - t0) / reps
+    # best-of-3: one tunnel sync per batch (advisor r3: committed numbers
+    # were single-run and tunnel-jitter noisy)
+    dt = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync = int(multi(elev, *args, reps=reps))
+        dt = min(dt, (time.perf_counter() - t0) / reps)
 
     out = terrain_step(elev, *args, uca_solver=solver)
     sweeps = int(out["uca_sweeps"])
@@ -264,11 +268,17 @@ def bench_slope_only(n):
     out = prog(elev + eps[-1], dX, dX)
     np.asarray(out[0])
     reps = 5
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = prog(elev + eps[i], dX, dX)
+    # best-of-3 batches of 5: one tunnel sync per batch, minimum over
+    # batches (advisor r3: single-run numbers committed as the record were
+    # dominated by per-dispatch tunnel jitter)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = prog(elev + eps[i], dX, dX)
         float(out[3])
-    dt = (time.perf_counter() - t0) / reps
+        best = min(best, (time.perf_counter() - t0) / reps)
+    dt = best
     return n * n / dt, dt
 
 
@@ -461,8 +471,9 @@ def full_report(primary, hard, mark=lambda w: None):
         oocv, oocdt, oocr = bench_ooc()
         lines.append("- out-of-core engine (8192² logical, 4096² "
                      "super-blocks, store-backed): **%.1f Mpx/s** (%.1f s, "
-                     "%d UCA rounds) — %.2fx the in-HBM rate"
-                     % (oocv / 1e6, oocdt, oocr, oocv / primary["value"]))
+                     "%d UCA rounds) — 1/%.0f of the in-HBM rate"
+                     % (oocv / 1e6, oocdt, oocr,
+                        max(primary["value"] / max(oocv, 1.0), 1.0)))
     except Exception as e:
         lines.append("- out-of-core bench failed: %r" % e)
     mark("report: out-of-core done")

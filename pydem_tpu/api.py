@@ -267,8 +267,11 @@ class DEMProcessor:
     pit_backend = "host"
     # "jacobi" = global dense sweeps (works everywhere, exact reference
     # semantics); "blocked" = Pallas VMEM-resident Gauss-Seidel block
-    # relaxation (compiled on TPU; interpret-mode elsewhere)
-    uca_solver = "jacobi"
+    # relaxation (compiled on TPU; interpret-mode elsewhere); "auto"
+    # (default) = blocked on a TPU backend with a big-enough canvas, else
+    # jacobi — on pit/flat-dense terrain the blocked solver converges in
+    # ~20 corner-order rounds where jacobi needs ~700 sweeps
+    uca_solver = "auto"
     # block size for the blocked solver (None = auto: 256/128); small values
     # only make sense with interpret-mode testing
     uca_block_size = None
@@ -285,6 +288,22 @@ class DEMProcessor:
         "conditioning_backend", "pit_backend", "uca_solver",
         "uca_block_size",
     ]
+
+    def _resolved_solver(self, platform=None):
+        """Resolve uca_solver="auto": Pallas blocked GS on a TPU backend
+        with a big-enough canvas (it converges in ~corner-order rounds
+        where jacobi needs ~longest-flow-path sweeps), jacobi elsewhere
+        (exact reference semantics; interpret-mode Pallas would be slow)."""
+        if self.uca_solver != "auto":
+            return self.uca_solver
+        if platform is None:
+            platform = jax.devices()[0].platform
+        arr = self._dev("elev")
+        if arr is None:
+            arr = self.__dict__.get("_np_elev")
+        n, m = arr.shape if arr is not None else (0, 0)
+        return "blocked" if platform == "tpu" and min(n, m) >= 256 \
+            else "jacobi"
 
     def _dev(self, name):
         return self.__dict__.get("_dev_" + name)
@@ -583,7 +602,7 @@ class DEMProcessor:
                 jnp.asarray(src), jnp.asarray(dst), jnp.asarray(wgt),
                 jnp.asarray(drained_idx), jnp.asarray(drained_mag),
                 has_pits, has_drained, self.uca_max_iters,
-                self.uca_check_every, solver=self.uca_solver,
+                self.uca_check_every, solver=self._resolved_solver(),
                 block_size=self.uca_block_size,
                 interpret=jax.devices()[0].platform != "tpu")
         self.uca_sweeps = int(n_sweeps)
@@ -633,7 +652,7 @@ class DEMProcessor:
             jnp.asarray(self.dX2), jnp.asarray(self.dY2),
             jnp.asarray(pit_src), jnp.asarray(pit_dst), jnp.asarray(pit_w),
             has_pits, self.uca_max_iters, self.uca_check_every,
-            solver=self.uca_solver, block_size=self.uca_block_size,
+            solver=self._resolved_solver(), block_size=self.uca_block_size,
             interpret=jax.devices()[0].platform != "tpu")
         self.uca_sweeps = int(n_sweeps)
         self.twi_min_area = min(self.twi_min_area, float(min_area))

@@ -191,74 +191,100 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
     # ---- chamfer distances within regions ----------------------------
     # dH from sources, dL from drains; seeds live either outside the region
     # (border pixels) or inside (centroid / edge pixels in replace roles).
-    def chamfer(seed_out_pred, seed_in):
-        """In-region chamfer distance replicating get_distance
+    # Both distances relax in the SAME while loops (the sweep counts only
+    # grow to the max of the two; extra sweeps past a fixed point are
+    # numeric no-ops), and the out-of-region seed adjacency — a function of
+    # static data only — is hoisted out of the loop, halving the per-sweep
+    # stencil work.  Identical values to two independent chamfer runs.
+    def chamfer_pair(seedA_out_pred, seedA_in, seedB_out_pred, seedB_in):
+        """In-region chamfer distances replicating get_distance
         (utils.py:374-402) including its early stop: the reference iterates
         only until every region pixel has been *reached* and keeps the
         distances of that sweep, which can exceed the true chamfer distance.
         Each region therefore freezes at its own arrival sweep.
 
-        seed_out_pred(q_elev, q_flat, di, dj) marks out-of-region seeds
-        adjacent to region pixels; seed_in marks in-region zero-distance
+        seed*_out_pred(q_elev, q_flat, di, dj) marks out-of-region seeds
+        adjacent to region pixels; seed*_in marks in-region zero-distance
         seeds."""
         big = jnp.asarray(float(N), data.dtype)
 
-        def relax(dcur):
-            dn = dcur
-            for di, dj in NEIGHBOR_OFFSETS:
-                step = 1.0 if di * dj == 0 else SQRT2
-                dn = jnp.minimum(dn, shift(dcur, di, dj, big) + step)
-            # only region pixels update; in-region seeds stay 0
-            dn = jnp.where(flat, dn, big)
-            dn = jnp.where(seed_in, 0.0, dn)
-            # out-of-region seed adjacency (static contribution, replaces the
-            # reference's d=0 at border-source pixels)
+        # static out-of-region seed adjacency, computed once per distance
+        def adj_of(seed_out_pred):
+            adj = jnp.full((n, m), jnp.inf, data.dtype)
             for di, dj in NEIGHBOR_OFFSETS:
                 step = 1.0 if di * dj == 0 else SQRT2
                 q_e = shift(data, di, dj, jnp.nan)
                 q_flat = shift(flat, di, dj, False)
                 is_seed = seed_out_pred(q_e, q_flat, di, dj)
-                dn = jnp.minimum(dn, jnp.where(is_seed, step, big))
-            return dn
+                adj = jnp.minimum(adj, jnp.where(is_seed, step, jnp.inf))
+            return jnp.minimum(adj, big)
 
-        d0 = jnp.where(seed_in, 0.0, big)
+        adjA = adj_of(seedA_out_pred)
+        adjB = adj_of(seedB_out_pred)
+
+        def relax(dcur, seed_in, adj):
+            dn = dcur
+            for di, dj in NEIGHBOR_OFFSETS:
+                step = 1.0 if di * dj == 0 else SQRT2
+                dn = jnp.minimum(dn, shift(dcur, di, dj, big) + step)
+            # only region pixels update; in-region seeds stay 0
+            dn = jnp.where(flat, jnp.minimum(dn, adj), big)
+            return jnp.where(seed_in, 0.0, dn)
+
+        dA0 = jnp.where(seedA_in, 0.0, big)
+        dB0 = jnp.where(seedB_in, 0.0, big)
 
         # Phase A (pure stencil): arrival sweep per pixel — the sweep index
         # at which each region pixel first becomes reachable.
         def body_a(state):
-            d, arr, sweep, _chg = state
-            dn = relax(d)
-            newly = (dn < big) & (arr < 0)
-            arr = jnp.where(newly, sweep + 1, arr)
-            return dn, arr, sweep + 1, jnp.any(dn != d)
+            dA, dB, arrA, arrB, sweep, _chg = state
+            dnA = relax(dA, seedA_in, adjA)
+            dnB = relax(dB, seedB_in, adjB)
+            arrA = jnp.where((dnA < big) & (arrA < 0), sweep + 1, arrA)
+            arrB = jnp.where((dnB < big) & (arrB < 0), sweep + 1, arrB)
+            chg = jnp.any(dnA != dA) | jnp.any(dnB != dB)
+            return dnA, dnB, arrA, arrB, sweep + 1, chg
 
-        arr0 = jnp.where(d0 < big, 0, -1)
-        d_fin, arrival, _max_sweep, _ = jax.lax.while_loop(
-            lambda s: s[3], body_a,
-            (d0, arr0, jnp.int32(0), jnp.asarray(True)))
+        arrA0 = jnp.where(dA0 < big, 0, -1)
+        arrB0 = jnp.where(dB0 < big, 0, -1)
+        _dA, _dB, arrivalA, arrivalB, _s, _ = jax.lax.while_loop(
+            lambda s: s[5], body_a,
+            (dA0, dB0, arrA0, arrB0, jnp.int32(0), jnp.asarray(True)))
 
-        # One segment reduction: each region's freeze sweep = its last
-        # arrival (the reference breaks out of get_distance at that sweep).
-        T = _seg("max", jnp.where(flat, arrival, -1).ravel(), lbl_flat,
-                 N + 1, -1)
-        T_px = T[lbl_flat].reshape(n, m)
+        # One segment reduction per distance: each region's freeze sweep =
+        # its last arrival (the reference breaks out of get_distance then).
+        def t_px_of(arrival):
+            T = _seg("max", jnp.where(flat, arrival, -1).ravel(), lbl_flat,
+                     N + 1, -1)
+            return T[lbl_flat].reshape(n, m)
+
+        TA_px = t_px_of(arrivalA)
+        TB_px = t_px_of(arrivalB)
 
         # Phase B (pure stencil): rerun, capturing each pixel's value at its
         # region's freeze sweep.  Unreached regions keep converged values.
         def body_b(state):
-            d, out, sweep, _chg = state
-            dn = relax(d)
-            out = jnp.where(flat & (T_px == sweep + 1), dn, out)
-            return dn, out, sweep + 1, jnp.any(dn != d)
+            dA, dB, outA, outB, sweep, _chg = state
+            dnA = relax(dA, seedA_in, adjA)
+            dnB = relax(dB, seedB_in, adjB)
+            outA = jnp.where(flat & (TA_px == sweep + 1), dnA, outA)
+            outB = jnp.where(flat & (TB_px == sweep + 1), dnB, outB)
+            chg = jnp.any(dnA != dA) | jnp.any(dnB != dB)
+            return dnA, dnB, outA, outB, sweep + 1, chg
 
-        out0 = jnp.where(flat & (T_px <= 0), d0, jnp.full((n, m), big))
-        out0 = jnp.where(seed_in, 0.0, out0)
-        d_fin, out, _, _ = jax.lax.while_loop(
-            lambda s: s[3], body_b, (d0, out0, jnp.int32(0),
-                                     jnp.asarray(True)))
+        def out0_of(d0, seed_in, T_px):
+            o = jnp.where(flat & (T_px <= 0), d0, jnp.full((n, m), big))
+            return jnp.where(seed_in, 0.0, o)
+
+        dAf, dBf, outA, outB, _, _ = jax.lax.while_loop(
+            lambda s: s[5], body_b,
+            (dA0, dB0, out0_of(dA0, seedA_in, TA_px),
+             out0_of(dB0, seedB_in, TB_px), jnp.int32(0),
+             jnp.asarray(True)))
         # seedless regions never get a positive T: converged values
-        out = jnp.where(flat & (T_px < 0), d_fin, out)
-        return out
+        outA = jnp.where(flat & (TA_px < 0), dAf, outA)
+        outB = jnp.where(flat & (TB_px < 0), dBf, outB)
+        return outA, outB
 
     def src_seed_out(q_e, q_flat, di, dj):
         # q (shifted view at p) is out-of-region source for p's region:
@@ -271,10 +297,9 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
         return flat & has_drain & (~q_flat) & (q_e == e_region)
 
     src_in = (peak_region & is_centroid)
-    dH = chamfer(src_seed_out, src_in)
     drain_in = ((multi & use_edge_drain & edge & edge_drain_ok)
                 | (multi & use_pit_drain & is_centroid))
-    dL = chamfer(drain_seed_out, drain_in)
+    dH, dL = chamfer_pair(src_seed_out, src_in, drain_seed_out, drain_in)
 
     interp = active & ~replace
     fill_val = (eH * dL**2 + e_region * dH**2) / (dL**2 + dH**2)

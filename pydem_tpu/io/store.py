@@ -11,14 +11,34 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 # shared pool for chunk-file IO: file reads/writes and zlib release the GIL,
-# so multi-chunk windows stream at near-device-bandwidth
+# so multi-chunk windows stream at near-device-bandwidth.  Calls issued from
+# INSIDE a pool task (e.g. a prefetch thread layered on the store) would
+# deadlock when the pool saturates, so submission is guarded by a
+# thread-local flag: nested calls fall back to serial execution.
 _IO_POOL = ThreadPoolExecutor(max_workers=8)
+_IN_POOL = threading.local()
+
+
+def _pool_map(fn, items):
+    """Map chunk tasks over the IO pool; serial when already inside it."""
+    if getattr(_IN_POOL, "active", False):
+        return [fn(it) for it in items]
+
+    def wrapped(it):
+        _IN_POOL.active = True
+        try:
+            return fn(it)
+        finally:
+            _IN_POOL.active = False
+
+    return list(_IO_POOL.map(wrapped, items))
 
 _DTYPE_MAP = {
     "float64": "<f8", "float32": "<f4", "int64": "<i8", "int32": "<i4",
@@ -157,7 +177,7 @@ class ArrayStore:
                 for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1)
                 for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1)]
         if len(jobs) > 1:
-            list(_IO_POOL.map(lambda a: one(*a), jobs))
+            _pool_map(lambda a: one(*a), jobs)
         else:
             one(*jobs[0])
         return out
@@ -196,7 +216,7 @@ class ArrayStore:
                 for ci in range(ir0 // ch0, (ir1 - 1) // ch0 + 1)
                 for cj in range(ic0 // ch1, (ic1 - 1) // ch1 + 1)]
         if len(jobs) > 1:
-            list(_IO_POOL.map(lambda a: one(*a), jobs))
+            _pool_map(lambda a: one(*a), jobs)
         else:
             one(*jobs[0])
 

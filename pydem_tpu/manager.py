@@ -335,7 +335,9 @@ class ProcessManager:
 
             dp = self._processor()
             self._sp = ShardedPipeline(dp.elev, dp.dX, dp.dY, dp.dX2, dp.dY2,
-                                       self.mesh, uca_solver=dp.uca_solver)
+                                       self.mesh,
+                                       uca_solver=dp._resolved_solver(
+                                           self.mesh.devices.flat[0].platform))
         return self._sp
 
     def process_aspect_slope(self, indices=None):
@@ -464,7 +466,7 @@ class ProcessManager:
         eng = OutOfCoreEngine(self.out_file, self.grid_shape, dX, dY, dX2,
                               dY2, dem_proc_kwargs=self.dem_proc_kwargs,
                               superblock=self.superblock, resume=self.resume,
-                              timer=self.timer)
+                              timer=self.timer, mesh=self.mesh)
         self._ooc = eng
         with self.timer.stage("ingest"):
             self._ingest_out_of_core(eng.S)
@@ -524,14 +526,43 @@ class ProcessManager:
 
     # -- export -------------------------------------------------------------
 
-    def save_non_overlap_data(self, keys=None):
-        """De-overlapped outputs.  The mosaic is already overlap-free, so
-        this is a view of the stored canvases keyed like the reference's
-        compact store (:742-784)."""
+    def save_non_overlap_data(self, keys=None, out_path=None,
+                              chunk=1024):
+        """De-overlapped compact export store (reference
+        ``save_non_overlap_data``, process_manager.py:742-784).
+
+        The mosaic canvas is already overlap-free, so the compact geometry
+        equals the canvas geometry; what this stage does — like the
+        reference — is a REAL windowed copy into a second store
+        (``<out_path or in_path>/results_noverlap.zarr``), streamed
+        chunk-by-chunk in O(chunk²) memory so an out-of-core-sized store
+        exports without ever materializing a canvas.  Returns the compact
+        :class:`ArrayStore` (dict-like: ``store["uca"]`` reads a full
+        array, ``read_window`` streams)."""
         keys = keys or ["elev", "aspect", "slope", "uca", "twi"]
-        self.out_file_noverlap = {k: self.out_file[k] for k in keys
-                                  if k in self.out_file}
-        return self.out_file_noverlap
+        out_path = out_path or os.path.join(self.in_path,
+                                            "results_noverlap.zarr")
+        dst = ArrayStore(out_path)
+        for key in keys:
+            if key not in self.out_file:
+                continue
+            meta = self.out_file._meta(key)
+            shape = meta["shape"]
+            dt = np.dtype(meta["dtype"]).name
+            dst.create(key, shape, dt,
+                       chunks=[min(chunk, shape[0]), min(chunk, shape[1])],
+                       fill=np.nan if np.dtype(dt).kind == "f" else 0,
+                       overwrite=True)
+            for i0 in range(0, shape[0], chunk):
+                for j0 in range(0, shape[1], chunk):
+                    i1 = min(i0 + chunk, shape[0])
+                    j1 = min(j0 + chunk, shape[1])
+                    dst.write_window(
+                        key,
+                        self.out_file.read_window(key, (i0, i1), (j0, j1)),
+                        (i0, j0))
+        self.out_file_noverlap = dst
+        return dst
 
     def save_non_overlap_data_geotiff(self, out_path=None, keys=None,
                                       overview_factors=(3, 9, 27)):

@@ -109,7 +109,7 @@ class OutOfCoreEngine:
 
     def __init__(self, store, shape, dX, dY, dX2, dY2, dem_proc_kwargs=None,
                  superblock=512, margin=None, resume=False, interpret=None,
-                 timer=None):
+                 timer=None, mesh=None):
         self.store = store
         self.shape = tuple(shape)
         self.dX = np.asarray(dX, "float64")
@@ -126,6 +126,12 @@ class OutOfCoreEngine:
         self.margin = int(margin if margin is not None
                           else max(64, 2 * self.dp.drain_pits_max_dist))
         self.resume = resume
+        # sharded + out-of-core composition: with a mesh, the spill-to-HBM
+        # UCA path places the canvases across the mesh (state per chip =
+        # canvas / n_devices) and solves with the ICI halo solver — the
+        # multi-chip path then has no single-host OR single-chip memory
+        # ceiling (host stays O(S²) streaming)
+        self.mesh = mesh
         self.device_cache_bytes = int(
             os.environ.get("PYDEM_OOC_DEVICE_CACHE", 4 << 30))
         n, m = self.shape
@@ -340,12 +346,147 @@ class OutOfCoreEngine:
         return self.store.read_window(name, (i0 - 1, i0 + self.S + 1),
                                       (j0 - 1, j0 + self.S + 1))
 
+    def _fits_device_resident(self):
+        """Whether the WHOLE canvas state (elev/direction/flats/section/
+        proportion + the solver's weight planes and padded state) fits the
+        device budget — the spill-to-HBM fast path: host stays O(S²), the
+        chip(s) hold the canvases, and the UCA stage collapses into one
+        global blocked solve (no per-round host IO at all).  With a mesh
+        the budget scales by the device count (the canvases shard)."""
+        n, m = self.shape
+        isz = np.dtype(self._work_dtype).itemsize
+        cap = self.device_cache_bytes * (self.mesh.size
+                                         if self.mesh is not None else 1)
+        # elev+dir+prop+base+state+W1 ~6 planes, W 8 transient planes,
+        # section/K int32, flats 1B, padding slack -> ~20 planes
+        return 20 * n * m * isz <= cap
+
+    def _uca_device_resident(self, state_fn):
+        """Spill-to-HBM UCA: stream the static canvases to the device once,
+        run the global Pallas blocked GS solve (the SAME solver as the
+        in-HBM pipeline, api._solve_uca), stream the state back.  Exact:
+        the streaming path's per-window weights reproduce the global
+        receiver_weights (see _sb_uca_solve), and here they ARE the global
+        weights."""
+        from .api import _solve_uca
+
+        n, m = self.shape
+        wd = np.dtype(self._work_dtype)
+        mesh = self.mesh
+        if mesh is not None:
+            from .parallel.sharded import canvas_sharding
+
+            gy, gx = mesh.devices.shape
+            np_, mp_ = n + (-n) % gy, m + (-m) % gx
+            sh = canvas_sharding(mesh)
+        else:
+            np_, mp_, sh = n, m, None
+
+        upd = jax.jit(
+            lambda c, b, i, j: jax.lax.dynamic_update_slice(c, b, (i, j)),
+            donate_argnums=(0,))
+
+        def gather(name, dtype, fill=0):
+            """Stream store windows up into a (sharded) device canvas —
+            host never holds more than one S² window."""
+            if sh is None:
+                c = jnp.full((np_, mp_), fill, dtype)
+            else:
+                c = jax.jit(lambda: jnp.full((np_, mp_), fill, dtype),
+                            out_shardings=sh)()
+            for bi, bj in self._blocks():
+                (i0, i1), (j0, j1) = self._interior(bi, bj)
+                w = self.store.read_window(name, (i0, i1), (j0, j1))
+                c = upd(c, jnp.asarray(np.asarray(w, dtype)), i0, j0)
+            return c
+
+        # NaN pad beyond the logical canvas: exactly the out-of-grid
+        # pruning semantics (receiver_weights' NaN-shift comparisons), so
+        # the mesh-divisibility pad does not blur the true canvas edge
+        elev = gather("elev", wd, fill=np.nan)
+        direction = gather("aspect", wd)
+        flats = gather("flats", bool, fill=False)
+        theta = jnp.asarray(np.pad(self.theta, (0, np_ - n), mode="edge"),
+                            wd)
+        base = jnp.broadcast_to(
+            jnp.asarray(np.pad(np.nan_to_num(self.dX2 * self.dY2),
+                               (0, np_ - n)), wd)[:, None],
+            (np_, mp_))
+
+        src, dst, w = self._links if self._links is not None \
+            else self.pit_links()
+        has_pits = len(src) > 0
+        # remap flat link indices into the padded canvas
+        src_p = (src // m) * mp_ + src % m
+        dst_p = (dst // m) * mp_ + dst % m
+
+        if mesh is not None:
+            from .parallel.sharded import sharded_uca
+
+            @jax.jit
+            def pre(elev, direction, flats, theta):
+                section, proportion = section_proportion(direction, flats,
+                                                         theta=theta)
+                return receiver_weights(section, proportion, elev)
+
+            W = pre(elev, direction, flats, theta)
+            links = (src_p, dst_p, np.asarray(w, wd)) if has_pits else None
+            x, rounds = sharded_uca(jnp.asarray(base), W, mesh,
+                                    pit_links=links, uca_solver="blocked",
+                                    interpret=self.interpret)
+        else:
+            @partial(jax.jit, static_argnames=("B", "interpret",
+                                               "has_pits"))
+            def prog(elev, direction, flats, theta, base, ps, pd, pw,
+                     B, interpret, has_pits):
+                section, proportion = section_proportion(direction, flats,
+                                                         theta=theta)
+                W = receiver_weights(section, proportion, elev)
+                return _solve_uca(base, W, elev.shape,
+                                  ps if has_pits else None,
+                                  pd if has_pits else None,
+                                  pw if has_pits else None,
+                                  0, 0, "blocked", B, interpret)
+
+            x, rounds = prog(elev, direction, flats, theta, base,
+                             jnp.asarray(src_p), jnp.asarray(dst_p),
+                             jnp.asarray(np.asarray(w, wd)),
+                             B=self.B, interpret=self.interpret,
+                             has_pits=has_pits)
+
+        self._create("uca_state", self._work_dtype, fill=0.0)
+        for bi, bj in self._blocks():
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            self.store.write_window("uca_state",
+                                    np.asarray(x[i0:i1, j0:j1]), (i0, j0))
+        rounds = int(rounds)
+        with open(state_fn, "w") as f:
+            json.dump({"round": rounds, "mode": "device"}, f)
+        self.uca_rounds = rounds
+        return rounds
+
     def uca(self, max_rounds=10_000):
-        """Iterate super-block GS rounds to the global fixed point."""
+        """Iterate super-block GS rounds to the global fixed point.
+
+        Two regimes: when the whole canvas fits the device budget the UCA
+        stage runs as ONE global blocked solve with zero per-round host IO
+        (:meth:`_uca_device_resident`); otherwise super-blocks stream
+        through the store in corner-order GS rounds with a converged-block
+        frontier — quiescent blocks whose ring and pit inflow did not
+        change since their last visit are skipped."""
         state_fn = os.path.join(self.store.root, "_oocore_uca.json")
         start_round = 0
-        if not (self.resume and "uca_state" in self.store
-                and os.path.exists(state_fn)):
+        if self.resume and "uca_state" in self.store \
+                and os.path.exists(state_fn):
+            with open(state_fn) as f:
+                st = json.load(f)
+            if st.get("mode") == "device":
+                self.uca_rounds = st["round"]
+                return self.uca_rounds
+            start_round = st["round"]
+        elif self._fits_device_resident():
+            return self._uca_device_resident(state_fn)
+        else:
             # init state = base area
             self._create("uca_state", self._work_dtype, fill=0.0)
             for bi, bj in self._blocks():
@@ -354,9 +495,6 @@ class OutOfCoreEngine:
                     "uca_state", self._base_block(bi, bj)[: i1 - i0,
                                                           : j1 - j0],
                     (i0, j0))
-        else:
-            with open(state_fn) as f:
-                start_round = json.load(f)["round"]
 
         src, dst, w = self._links if self._links is not None \
             else self.pit_links()
@@ -375,7 +513,9 @@ class OutOfCoreEngine:
         # set fits the budget, so the engine stays O(S²)-host / O(budget)-
         # device.
         dev_cache = {}
-        est = self.nbi * self.nbj * (9 * (S + 2) ** 2 + 4 * S * S)
+        isz = np.dtype(self._work_dtype).itemsize  # 8 under x64, 4 on TPU
+        est = self.nbi * self.nbj * ((2 * isz + 1) * (S + 2) ** 2
+                                     + isz * S * S)
         use_cache = est <= self.device_cache_bytes
 
         def read_block(bi, bj, contrib):
@@ -415,6 +555,8 @@ class OutOfCoreEngine:
             return bi, bj, out, chg
 
         rounds = start_round
+        prev_changed = None   # None -> visit everything (fresh/resumed)
+        prev_contrib = None
         while rounds < max_rounds:
             changed_any = False
             contrib = None
@@ -422,6 +564,30 @@ class OutOfCoreEngine:
                 # fold pit contributions once per round (fold-before-relax,
                 # same nesting as accumulate_blocked_pits_gs)
                 contrib = self._gather_state(src) * w
+            # converged-block frontier: a block's relax is a no-op unless
+            # its own state, a neighbor's ring, or its pit inflow changed
+            # since its last visit — skip the rest (the scheduler-metric
+            # skipping of process_manager.py:1090-1249, at block grain)
+            if prev_changed is None:
+                todo = None
+            else:
+                todo = set()
+                for (pi, pj) in prev_changed:
+                    for di in (-1, 0, 1):
+                        for dj in (-1, 0, 1):
+                            qi, qj = pi + di, pj + dj
+                            if 0 <= qi < self.nbi and 0 <= qj < self.nbj:
+                                todo.add((qi, qj))
+                if has_pits and prev_contrib is not None:
+                    moved = contrib != prev_contrib
+                    if moved.any():
+                        keys = ((dst[moved] // m // S) * self.nbj
+                                + (dst[moved] % m // S))
+                        for key in np.unique(keys):
+                            todo.add((int(key) // self.nbj,
+                                      int(key) % self.nbj))
+            if has_pits:
+                prev_contrib = contrib
             # 1-deep software pipeline: while the device relaxes block k,
             # the host writes back block k-1 and reads block k+1's windows
             # (jax dispatch is async; forcing `chg` happens one step later).
@@ -429,7 +595,9 @@ class OutOfCoreEngine:
             # harmless for the fixed point (chaotic relaxation) and sound
             # for termination: the final round performs no writes at all,
             # so nothing was stale when every block reported unchanged.
-            order = list(self._blocks(_SWEEP_FLIPS[rounds % 4]))
+            order = [b for b in self._blocks(_SWEEP_FLIPS[rounds % 4])
+                     if todo is None or b in todo]
+            round_changed = set()
             pending = None
             for k, (bi, bj) in enumerate(order):
                 blk = read_block(bi, bj, contrib)
@@ -438,6 +606,7 @@ class OutOfCoreEngine:
                     pbi, pbj, out, chg = pending
                     if bool(chg):
                         changed_any = True
+                        round_changed.add((pbi, pbj))
                         (i0, i1), (j0, j1) = self._interior(pbi, pbj)
                         self.store.write_window(
                             "uca_state",
@@ -447,10 +616,12 @@ class OutOfCoreEngine:
                 pbi, pbj, out, chg = pending
                 if bool(chg):
                     changed_any = True
+                    round_changed.add((pbi, pbj))
                     (i0, i1), (j0, j1) = self._interior(pbi, pbj)
                     self.store.write_window(
                         "uca_state", np.asarray(out)[: i1 - i0, : j1 - j0],
                         (i0, j0))
+            prev_changed = round_changed
             rounds += 1
             with open(state_fn, "w") as f:
                 json.dump({"round": rounds}, f)
@@ -462,8 +633,10 @@ class OutOfCoreEngine:
     # -- stage 5: finalize (uca NaN-at-flats + TWI) ---------------------------
 
     def finalize(self):
-        self._create("uca")
-        self._create("twi")
+        # outputs stored at the working precision (f32 on TPU, f64 under
+        # x64) — storing f32 results in f64 arrays would double the store
+        self._create("uca", self._work_dtype)
+        self._create("twi", self._work_dtype)
         dp = self.dp
         for bi, bj in self._blocks():
             (i0, i1), (j0, j1) = self._interior(bi, bj)

@@ -61,3 +61,33 @@ def test_default_export_is_streaming(tmp_path, monkeypatch):
     assert written and written[0].endswith("uca.tif")
     g = read_geotiff(written[0])
     assert g.shape == (64, 64) and g.data[5, 5] == np.float32(2.0)
+
+
+def test_non_overlap_store_streams(tmp_path, monkeypatch):
+    """save_non_overlap_data is a REAL windowed copy into a second store
+    (reference process_manager.py:742-784): an 8192²-logical store exports
+    in O(chunk) memory — full-array reads during the copy are a bug."""
+    n = 8192
+    store = ArrayStore(str(tmp_path / "results.zarr"))
+    store.create("uca", (n, n), "float64", chunks=(256, 256), fill=np.nan)
+    store.write_window("uca", np.full((256, 256), 3.5), (512, 256))
+    store.create("twi", (n, n), "float32", chunks=(256, 256), fill=np.nan)
+
+    pm = ProcessManager.__new__(ProcessManager)
+    pm.out_file = store
+    pm.in_path = str(tmp_path)
+
+    def _no_full_read(self, key):
+        raise AssertionError("full-canvas read of %r during compact copy"
+                             % key)
+
+    monkeypatch.setattr(ArrayStore, "__getitem__", _no_full_read)
+    dst = pm.save_non_overlap_data(keys=["uca", "twi"], chunk=2048)
+    monkeypatch.undo()
+
+    assert dst is pm.out_file_noverlap
+    assert dst._meta("uca")["shape"] == [n, n]
+    assert dst._meta("twi")["dtype"] == "<f4"
+    win = dst.read_window("uca", (512, 768), (256, 512))
+    assert (win == 3.5).all()
+    assert np.isnan(dst.read_window("uca", (0, 16), (0, 16))).all()

@@ -119,3 +119,88 @@ def test_manager_out_of_core_end_to_end(tmp_path):
                 np.nan_to_num(a), np.nan_to_num(b), err_msg=key)
     finally:
         manager.DEBUG = False
+
+
+def test_engine_streaming_path_with_frontier(tmp_path, monkeypatch):
+    """With the device budget forced to zero the engine takes the
+    streaming-rounds path (per-block store IO + converged-block frontier)
+    and still reproduces the single-canvas result — incl. pit links whose
+    contributions cross super-blocks."""
+    monkeypatch.setenv("PYDEM_OOC_DEVICE_CACHE", "0")
+    elev, _a, _u = fixtures.get_test_case(13, 48)  # pits -> pit links
+    store, eng = _engine(tmp_path, elev, S=16)
+    assert not eng._fits_device_resident()
+    eng.run()
+    dp = _dp(elev)
+    _cmp_store(store, dp, ("elev", "slope", "aspect", "uca", "twi"))
+    assert eng.uca_rounds >= 1
+
+
+def test_engine_device_vs_streaming_identical(tmp_path):
+    """The spill-to-HBM fast path and the streaming rounds reach the same
+    fixed point bitwise."""
+    elev, _a, _u = fixtures.get_test_case(33, 48)
+    s1, e1 = _engine(tmp_path / "a", elev, S=16)
+    assert e1._fits_device_resident()
+    e1.run()
+    import os
+    os.environ["PYDEM_OOC_DEVICE_CACHE"] = "0"
+    try:
+        s2, e2 = _engine(tmp_path / "b", elev, S=16)
+        e2.run()
+    finally:
+        del os.environ["PYDEM_OOC_DEVICE_CACHE"]
+    np.testing.assert_array_equal(s1["uca"], s2["uca"])
+    np.testing.assert_array_equal(s1["twi"], s2["twi"])
+
+
+def test_sharded_out_of_core_compose(tmp_path):
+    """sharded + out-of-core composition (VERDICT r3 #7): the canvases
+    shard over the mesh while the host streams S² windows — a canvas
+    larger than any single super-block host view, solved on an 8-device
+    mesh, equals the single-device result."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from pydem_tpu.parallel.sharded import make_mesh
+
+    elev, _a, _u = fixtures.get_test_case(33, 64)
+    elev = elev[:48, :]  # 48x64 over a 2x4 mesh -> 24x16 shards
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+
+    store, eng = _engine(tmp_path / "mesh", elev, S=16)
+    eng.mesh = mesh
+    assert eng._fits_device_resident()
+    eng.run()
+
+    dp = _dp(elev)
+    _cmp_store(store, dp, ("elev", "slope", "aspect", "uca", "twi"))
+
+
+def test_manager_mesh_out_of_core(tmp_path):
+    """ProcessManager(mesh=..., out_of_core=True) end-to-end."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from pydem_tpu.parallel.sharded import make_mesh
+
+    manager.DEBUG = True
+    try:
+        chunks = fixtures.mk_test_multifile(33, 32, str(tmp_path),
+                                            nx_grid=2, ny_grid=2,
+                                            nx_overlap=2, ny_overlap=2)
+        mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+        pm = manager.ProcessManager(in_path=chunks, mesh=mesh,
+                                    out_of_core=True, superblock=16)
+        pm.process_twi()
+        elev, _a, _u = fixtures.get_test_case(33, 32)
+        dp = _dp(elev)
+        got = pm.out_file["uca"]
+        ref = np.asarray(dp.uca, "float64")
+        assert (np.isnan(ref) == np.isnan(got))[1:-1, 1:-1].all()
+        np.testing.assert_array_almost_equal(
+            np.nan_to_num(ref)[1:-1, 1:-1], np.nan_to_num(got)[1:-1, 1:-1])
+    finally:
+        manager.DEBUG = False
