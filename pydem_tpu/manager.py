@@ -405,8 +405,17 @@ class ProcessManager:
             else:
                 dp.calc_uca()
         self.out_file["uca"] = dp.uca
-        self.out_file["edge_todo"] = np.zeros(dp.uca.shape, bool)
-        self.out_file["edge_done"] = np.ones(dp.uca.shape, bool)
+        # real edge state from the solve: canvas-boundary pixels that await
+        # inflow from OUTSIDE the mosaic stay todo (dem_processing.py:
+        # 909-930); everything else is done by construction of the global
+        # solve.  The mesh path solves without per-pixel edge bookkeeping —
+        # there the converged state is all-done.
+        if dp._has("edge_todo"):
+            self.out_file["edge_todo"] = np.asarray(dp.edge_todo)
+            self.out_file["edge_done"] = np.asarray(dp.edge_done)
+        else:
+            self.out_file["edge_todo"] = np.zeros(dp.uca.shape, bool)
+            self.out_file["edge_done"] = np.ones(dp.uca.shape, bool)
         with open(state_fn, "w") as f:
             json.dump({"twi_min_area": float(dp.twi_min_area),
                        "uca_sweeps": int(getattr(dp, "uca_sweeps", -1))}, f)
@@ -423,18 +432,35 @@ class ProcessManager:
         if dp.uca is None:
             self.process_uca()
         self.out_file["uca_edges"] = dp.uca
-        # Real per-tile edge state, measured on the solved canvas (the
-        # reference's (p_done, n_done) scheduler signal,
-        # process_manager.py:199-221): the done fraction is 1 by
-        # construction of the global solve; the first column reports the
-        # fraction of each tile's edge pixels carrying a defined UCA
-        # (NaN = flats / no-data).
-        metrics = np.ones((self.n_inputs, 2))
+        # The reference's (p_done, n_done) scheduler signal, computed with
+        # calc_uca_ec_metrics semantics (process_manager.py:199-221):
+        # per tile, coulddo = its todo-edge pixels whose adjacent neighbor
+        # strip is done; p_done = coulddo / (1e-16 + n_todo),
+        # n_done = coulddo.  On the solved global canvas interior seams
+        # carry no todo (resolved by construction) and mosaic-boundary
+        # strips have no neighbor (excluded, like the reference's absent
+        # edge_slc keys), so converged runs report (0, 0) — "nothing left
+        # that could be done", the loop-exit state of process_uca_edges.
+        todo = self.out_file["edge_todo"]
+        done = self.out_file["edge_done"]
+        n, m = self.grid_shape
+        metrics = np.zeros((self.n_inputs, 2))
         for i, (si, sj) in enumerate(self.grid_slice):
-            tile = dp.uca[si, sj]
-            edge = np.concatenate([tile[0, :], tile[-1, :],
-                                   tile[1:-1, 0], tile[1:-1, -1]])
-            metrics[i, 0] = float(np.isfinite(edge).mean())
+            p = 0
+            nd = 0
+            sides = []
+            if si.start > 0:
+                sides.append((todo[si.start, sj], done[si.start - 1, sj]))
+            if si.stop < n:
+                sides.append((todo[si.stop - 1, sj], done[si.stop, sj]))
+            if sj.start > 0:
+                sides.append((todo[si, sj.start], done[si, sj.start - 1]))
+            if sj.stop < m:
+                sides.append((todo[si, sj.stop - 1], done[si, sj.stop]))
+            for et, edn in sides:
+                nd += int((et & edn).sum())
+                p += int(et.sum())
+            metrics[i] = (nd / (1e-16 + p), nd)
         self.out_file["uca_edge_metrics"] = metrics
         return 0  # rounds needed
 
