@@ -173,6 +173,24 @@ def bench_tpu(n, reps=5):
     return n * n / dt, dt, sweeps, str(jax.devices()[0].platform), t_one
 
 
+def _link_bandwidth():
+    """Measured host->device + device->host MB/s for a 4 MB canvas (the
+    axon tunnel's throughput varies day to day and bounds the sync-heavy
+    hard-terrain chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = np.random.default_rng(0).random((1024, 1024)).astype("float32")
+    d = jnp.asarray(a)
+    d.block_until_ready()  # warm path
+    t0 = time.perf_counter()
+    d = jnp.asarray(a + 1)
+    d.block_until_ready()
+    np.asarray(d)
+    dt = time.perf_counter() - t0
+    return round(8.0 / dt, 1)
+
+
 def bench_hard_terrain(n):
     """Full DEMProcessor chain (device backends) on pit/flat-rich terrain,
     including host orchestration and conditioning — the number that matters
@@ -548,6 +566,11 @@ def main():
                                              if hard["vs_baseline"] else None),
                 "reference_px_per_s": (round(hard_base) if hard_base
                                        else None),
+                # the hard chain is host<->device transfer bound (~17 MB of
+                # canvas traffic for conditioning's host-carve round trip);
+                # record the measured link bandwidth so day-to-day tunnel
+                # throughput changes are attributable
+                "link_MBps": _link_bandwidth(),
             },
         },
     }

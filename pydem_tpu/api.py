@@ -204,9 +204,12 @@ class _Field:
 def _pad_pits(pit_src, pit_dst, pit_w):
     """Pad pit-link triples to a power-of-two bucket so the jitted UCA
     program recompiles O(log P) times, not once per pit count.  Padding
-    entries have weight 0 (no-ops in the scatter)."""
+    entries have weight 0 (no-ops in the scatter).  The floor of 1024
+    keeps terrains whose link count jitters around a small power of two
+    (e.g. repeated runs with perturbed elevations) from flip-flopping
+    compile keys — a 1024-entry scatter is noise next to the solve."""
     p = len(pit_src)
-    cap = 1
+    cap = 1024
     while cap < p:
         cap *= 2
     pad = cap - p
@@ -304,6 +307,46 @@ class DEMProcessor:
         n, m = arr.shape if arr is not None else (0, 0)
         return "blocked" if platform == "tpu" and min(n, m) >= 256 \
             else "jacobi"
+
+    # -- lazily-forced solve scalars (device fast path) --------------------
+    # The UCA program returns (sweeps, min_area) as device scalars; forcing
+    # them eagerly would cost a host round trip mid-pipeline.  These
+    # properties present the reference's plain-attribute API while folding
+    # pending device values on first host read.
+
+    @property
+    def uca_sweeps(self):
+        v = self.__dict__.get("_uca_sweeps_val")
+        if v is None:
+            d = self.__dict__.pop("_uca_sweeps_dev", None)
+            v = -1 if d is None else int(d)
+            self.__dict__["_uca_sweeps_val"] = v
+        return v
+
+    @uca_sweeps.setter
+    def uca_sweeps(self, v):
+        self.__dict__["_uca_sweeps_val"] = int(v)
+        self.__dict__.pop("_uca_sweeps_dev", None)
+
+    @property
+    def twi_min_area(self):
+        d = self.__dict__.pop("_min_area_dev", None)
+        if d is not None:
+            self.__dict__["_twi_min_area"] = min(
+                self.__dict__.get("_twi_min_area", np.inf), float(d))
+        return self.__dict__.get("_twi_min_area", np.inf)
+
+    @twi_min_area.setter
+    def twi_min_area(self, v):
+        self.__dict__["_twi_min_area"] = v
+
+    def _twi_min_area_device(self, dtype):
+        """min_area as a device scalar WITHOUT forcing a pending value."""
+        host = jnp.asarray(self.__dict__.get("_twi_min_area", np.inf), dtype)
+        pend = self.__dict__.get("_min_area_dev")
+        if pend is None:
+            return host
+        return jnp.minimum(host, pend.astype(dtype))
 
     def _dev(self, name):
         return self.__dict__.get("_dev_" + name)
@@ -583,9 +626,10 @@ class DEMProcessor:
         has_pits = src.size > 0
         src, dst, wgt = _pad_pits(src, dst, wgt)
         has_drained = drained_idx.size > 0
-        if has_drained:  # pad to a power-of-two bucket (recompile control);
+        if has_drained:  # pad to a power-of-two bucket (recompile control;
+            # floor 1024 so jittered counts keep one compile key);
             # repeating real entries is idempotent for the set-scatters
-            cap = 1
+            cap = 1024
             while cap < drained_idx.size:
                 cap *= 2
             rep = cap - drained_idx.size
@@ -605,18 +649,25 @@ class DEMProcessor:
                 self.uca_check_every, solver=self._resolved_solver(),
                 block_size=self.uca_block_size,
                 interpret=jax.devices()[0].platform != "tpu")
-        self.uca_sweeps = int(n_sweeps)
-        self.twi_min_area = min(self.twi_min_area, float(min_area))
+        # keep the solve scalars device-resident: forcing them here would
+        # stall the dispatch pipeline on a tunnel round trip before TWI can
+        # even be enqueued — the lazy properties fold them on first host
+        # read (manager metrics etc.)
+        self.__dict__["_uca_sweeps_dev"] = n_sweeps
+        self.__dict__.pop("_uca_sweeps_val", None)
+        self.__dict__["_min_area_dev"] = min_area
         self._set_dev("uca", area)
         self._set_dev("mag", mag2)
         self._set_dev("flats", flats2)
         self._set_dev("edge_todo", edge_todo)
         self._edge_done = None
+        # min_area stays a device scalar (forced only if edge_done is ever
+        # computed — a tile-workflow path, not the hot chain)
         self._edge_flood_args = (self._dev("section"),
                                  self._dev("proportion"),
                                  (jnp.asarray(src), jnp.asarray(dst),
                                   jnp.asarray(wgt)),
-                                 has_pits, float(min_area))
+                                 has_pits, min_area)
         return self.uca if fetch else None
 
     def find_flats(self):
@@ -826,7 +877,7 @@ class DEMProcessor:
             uca_d, mag_d = self._dev("uca"), self._dev("mag")
             twi10 = _twi_program(
                 uca_d, mag_d,
-                jnp.asarray(self.twi_min_area, uca_d.dtype),
+                self._twi_min_area_device(uca_d.dtype),
                 jnp.asarray(self.twi_min_slope, uca_d.dtype),
                 jnp.asarray(self.uca_saturation_limit, uca_d.dtype),
                 self.apply_twi_limits_on_uca, self.apply_twi_limits)

@@ -197,7 +197,8 @@ def pit_links_device(flats_d, elev_d, dX, dY, max_iter=300, max_dist=32,
     # total, never per terrain — while small pit sets don't pay for a full
     # 2048-lane batch
     P = len(pits)
-    PB = 256
+    PB = 512  # floor: pit counts that jitter around a small power of two
+    # (perturbed reruns) must not flip the compile key
     while PB < min(P, 2048):
         PB *= 2
     fdt = elev_d.dtype

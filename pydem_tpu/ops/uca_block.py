@@ -248,9 +248,9 @@ def _subset_grid(nb_i, nb_j, subset):
     return (1, 2 * nb_j + 2 * (nb_i - 2))  # boundary frame, row-major-ish
 
 
-def _gs_kernel(xp_hbm, k_hbm, w1_hbm, base_hbm, xp_out, chg_ref, x_s, k_s,
-               w1_s, base_s, w_s, x0_s, sem_in, sem_k, sem_w, sem_b,
-               sem_out, *, B, inner_max, nb_i, nb_j, flip_i, flip_j,
+def _gs_kernel(xp_hbm, k_hbm, w1_hbm, base_hbm, prev_ref, xp_out, chg_ref,
+               x_s, k_s, w1_s, base_s, w_s, x0_s, sem_in, sem_k, sem_w,
+               sem_b, sem_out, *, B, inner_max, nb_i, nb_j, flip_i, flip_j,
                subset):
     """Gauss-Seidel block step: read the halo window of the LIVE (aliased)
     canvas and the COMPACT receiver windows (packed index plane + one weight
@@ -285,71 +285,106 @@ def _gs_kernel(xp_hbm, k_hbm, w1_hbm, base_hbm, xp_out, chg_ref, x_s, k_s,
                                   (side % 2) * (nb_j - 1)))
     bi = (nb_i - 1 - bi0) if flip_i else bi0
     bj = (nb_j - 1 - bj0) if flip_j else bj0
+    # chg flags are written in BLOCK space (not program-id space): rounds
+    # at different orientations must agree on which block a flag names for
+    # the cross-round frontier to be sound.  The boundary subset's frame
+    # mapping is not a 2-D grid, so it keeps program ids (its flags are
+    # only ever summed, never used as a frontier).
+    if subset == "all":
+        ci, cj = bi, bj
+    elif subset == "interior":
+        ci, cj = bi - 1, bj - 1
+    else:
+        ci, cj = i, j
 
-    read = pltpu.make_async_copy(
-        xp_out.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
-        x_s, sem_in)
-    read.start()
-    kread = pltpu.make_async_copy(
-        k_hbm.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
-        k_s, sem_k)
-    kread.start()
-    wread = pltpu.make_async_copy(
-        w1_hbm.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
-        w1_s, sem_w)
-    wread.start()
-    bread = pltpu.make_async_copy(
-        base_hbm.at[pl.ds(bi * B, B), pl.ds(bj * B, B)], base_s, sem_b)
-    bread.start()
-    read.wait()
-    kread.wait()
-    wread.wait()
-    bread.wait()
-    _expand_compact(k_s[:], w1_s[:], w_s)
-    x0_s[:] = x_s[HR: HR + B, HC: HC + B]
-    base = base_s[:]
+    # cross-round frontier: a block whose 3x3 neighborhood reported no
+    # change last round (and whose base/pit inflow is unchanged — folded
+    # into prev by the driver) would relax to itself; skip the whole visit
+    # including its DMA.  prev all-ones disables the skip (first round,
+    # callers that do not thread flags).
+    dirty = jnp.int32(0)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            qi = jnp.clip(bi + di, 0, nb_i - 1)
+            qj = jnp.clip(bj + dj, 0, nb_j - 1)
+            inb = ((bi + di >= 0) & (bi + di < nb_i)
+                   & (bj + dj >= 0) & (bj + dj < nb_j))
+            dirty = dirty | jnp.where(inb, prev_ref[qi, qj], 0)
 
-    def sweep():
-        # canonical neighbor order everywhere -> the f32 accumulation is
-        # bitwise identical across orientations, so the fixed point is
-        # orientation-stable and rounds go quiescent
-        x = x_s[:]
-        w = w_s[:]
-        acc = base
-        for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
-            r0, c0 = HR - di, HC - dj
-            acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
-                         * x[r0: r0 + B, c0: c0 + B])
-        changed = jnp.any(acc != x[HR: HR + B, HC: HC + B])
-        x_s[HR: HR + B, HC: HC + B] = acc
-        return changed
+    @pl.when(dirty == 0)
+    def _skip():
+        chg_ref[ci, cj] = 0
 
-    def cond(state):
-        it, changed = state
-        return jnp.logical_and(it < inner_max, changed)
+    @pl.when(dirty > 0)
+    def _visit():
+        read = pltpu.make_async_copy(
+            xp_out.at[pl.ds(bi * B, B + 2 * HR),
+                      pl.ds(bj * B, B + 2 * HC)],
+            x_s, sem_in)
+        read.start()
+        kread = pltpu.make_async_copy(
+            k_hbm.at[pl.ds(bi * B, B + 2 * HR), pl.ds(bj * B, B + 2 * HC)],
+            k_s, sem_k)
+        kread.start()
+        wread = pltpu.make_async_copy(
+            w1_hbm.at[pl.ds(bi * B, B + 2 * HR),
+                      pl.ds(bj * B, B + 2 * HC)],
+            w1_s, sem_w)
+        wread.start()
+        bread = pltpu.make_async_copy(
+            base_hbm.at[pl.ds(bi * B, B), pl.ds(bj * B, B)], base_s, sem_b)
+        bread.start()
+        read.wait()
+        kread.wait()
+        wread.wait()
+        bread.wait()
+        _expand_compact(k_s[:], w1_s[:], w_s)
+        x0_s[:] = x_s[HR: HR + B, HC: HC + B]
+        base = base_s[:]
 
-    def body(state):
-        it, _changed = state
-        for _ in range(3):
-            sweep()
-        return it + 4, sweep()
+        def sweep():
+            # canonical neighbor order everywhere -> the f32 accumulation
+            # is bitwise identical across orientations, so the fixed point
+            # is orientation-stable and rounds go quiescent
+            x = x_s[:]
+            w = w_s[:]
+            acc = base
+            for k, (di, dj) in enumerate(NEIGHBOR_OFFSETS):
+                r0, c0 = HR - di, HC - dj
+                acc = acc + (w[k, r0: r0 + B, c0: c0 + B]
+                             * x[r0: r0 + B, c0: c0 + B])
+            changed = jnp.any(acc != x[HR: HR + B, HC: HC + B])
+            x_s[HR: HR + B, HC: HC + B] = acc
+            return changed
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+        def cond(state):
+            it, changed = state
+            return jnp.logical_and(it < inner_max, changed)
 
-    write = pltpu.make_async_copy(
-        x_s.at[pl.ds(HR, B), pl.ds(HC, B)],
-        xp_out.at[pl.ds(bi * B + HR, B), pl.ds(bj * B + HC, B)],
-        sem_out)
-    write.start()
-    write.wait()
-    chg_ref[i, j] = jnp.any(
-        x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
+        def body(state):
+            it, _changed = state
+            for _ in range(3):
+                sweep()
+            return it + 4, sweep()
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(True)))
+
+        write = pltpu.make_async_copy(
+            x_s.at[pl.ds(HR, B), pl.ds(HC, B)],
+            xp_out.at[pl.ds(bi * B + HR, B), pl.ds(bj * B + HC, B)],
+            sem_out)
+        write.start()
+        write.wait()
+        chg_ref[ci, cj] = jnp.any(
+            x_s[HR: HR + B, HC: HC + B] != x0_s[:]).astype(jnp.int32)
 
 
-def _gs_round(xp, k_pad, w1_pad, base, *, B, inner_max, interpret,
+def _gs_round(xp, k_pad, w1_pad, base, prev, *, B, inner_max, interpret,
               flips=(False, False), subset="all"):
     """One Gauss-Seidel round over the padded canvas (updated in place via
-    aliasing) at the statically-flipped block order.  Returns
+    aliasing) at the statically-flipped block order.  ``prev`` is the
+    per-block changed flags of the previous round ((nb_i, nb_j) int32;
+    all-ones disables frontier skipping).  Returns
     (new padded canvas, per-block changed flags)."""
     np_, mp_ = xp.shape
     n, m = np_ - 2 * HR, mp_ - 2 * HC
@@ -368,6 +403,8 @@ def _gs_round(xp, k_pad, w1_pad, base, *, B, inner_max, interpret,
             pl.BlockSpec(memory_space=pltpu.ANY),  # packed receiver indices
             pl.BlockSpec(memory_space=pltpu.ANY),  # slot-1 weights
             pl.BlockSpec(memory_space=pltpu.ANY),  # base area
+            pl.BlockSpec((nb_i, nb_j), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),  # prev-round flags
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -395,33 +432,48 @@ def _gs_round(xp, k_pad, w1_pad, base, *, B, inner_max, interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(xp, k_pad, w1_pad, base)
+    )(xp, k_pad, w1_pad, base, prev)
     return xp_new, changed
 
 
 def gs_round_oriented(xp, k_pad, w1_pad, base, o, *, B, inner_max, interpret,
-                      subset="all"):
+                      subset="all", prev=None):
     """One Gauss-Seidel round at orientation ``o`` (0..3, traced) over the
     (HR, HC)-padded canvas ``xp``.  ``k_pad``/``w1_pad`` are the
     (HR, HC)-padded compact receiver planes (:func:`compact_from_dense`);
     orientation selects one of 4 statically-compiled block-visit
-    orders (lax.switch), touching no data.  Returns (new xp, changed count).
+    orders (lax.switch), touching no data.  ``prev`` optionally supplies
+    the previous round's per-block changed flags ((nb_i, nb_j) int32) for
+    cross-round frontier skipping; None visits every block.  Returns
+    (new xp, per-block changed flags) — sum the flags for a change count.
 
     The pad ring of ``xp`` is treated as frozen inflow: zeros for a lone
     canvas, or neighbor-shard halo values written there by a sharded caller
     (parallel.sharded.accumulate_sharded).  ``subset`` restricts the round
     to interior or boundary blocks (see _gs_kernel).
     """
+    if prev is None:
+        np_, mp_ = xp.shape
+        nb_i = (np_ - 2 * HR) // B
+        nb_j = (mp_ - 2 * HC) // B
+        prev = jnp.ones((nb_i, nb_j), jnp.int32)
+
     def mk(i):
         def run(ops):
-            xp, b_eff = ops
-            xp, chg = _gs_round(xp, k_pad, w1_pad, b_eff, B=B,
-                                inner_max=inner_max,
-                                interpret=interpret, flips=_FLIPS[i],
-                                subset=subset)
-            return xp, jnp.sum(chg)
+            xp, b_eff, prev = ops
+            return _gs_round(xp, k_pad, w1_pad, b_eff, prev, B=B,
+                             inner_max=inner_max,
+                             interpret=interpret, flips=_FLIPS[i],
+                             subset=subset)
         return run
-    return jax.lax.switch(o, [mk(i) for i in range(4)], (xp, base))
+    return jax.lax.switch(o, [mk(i) for i in range(4)], (xp, base, prev))
+
+
+def _block_any(mask, B):
+    """(n, m) bool -> (n//B, m//B) int32: any within each BxB block."""
+    n, m = mask.shape
+    return jnp.any(mask.reshape(n // B, B, m // B, B),
+                   axis=(1, 3)).astype(jnp.int32)
 
 
 def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
@@ -431,6 +483,12 @@ def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
     round — used to inject the non-adjacent pit-link contributions.  With
     fold-before-relax, the per-block changed flags are a sound convergence
     test: an unchanged round implies an unchanged fold.
+
+    Frontier: each round only visits blocks whose 3×3 neighborhood changed
+    last round or whose folded base changed (dirty pit inflow) — the
+    converged interior of a mostly-quiescent canvas costs nothing, the
+    on-device analog of the reference's metric-driven tile skipping
+    (process_manager.py:1090-1249).
     """
     n, m = base.shape
     assert n % B == 0 and m % B == 0, "canvas must be padded to block size"
@@ -442,28 +500,34 @@ def _gs_driver(base, W, B, inner_max, max_rounds, interpret, fold=None):
                     constant_values=_NO_EDGE * 16 + _NO_EDGE)
     w1_pad = jnp.pad(W1, ((HR, HR), (HC, HC)))
 
-    def one_round(o, xp, b_eff):
+    def one_round(o, xp, b_eff, prev):
         return gs_round_oriented(xp, k_pad, w1_pad, b_eff, o, B=B,
-                                 inner_max=inner_max, interpret=interpret)
+                                 inner_max=inner_max, interpret=interpret,
+                                 prev=prev)
 
     def interior(xp):
         return xp[HR: HR + n, HC: HC + m]
 
     xp0 = jnp.pad(base, ((HR, HR), (HC, HC)))
     b0 = base if fold is None else fold(interior(xp0))
-    xp, chg0 = one_round(jnp.int32(0), xp0, b0)
+    xp, chg0 = one_round(jnp.int32(0), xp0, b0, None)
 
     def cond(state):
-        _xp, changed, rounds = state
-        return jnp.logical_and(changed > 0, rounds < max_rounds)
+        _xp, chg, _b, rounds = state
+        return jnp.logical_and(jnp.sum(chg) > 0, rounds < max_rounds)
 
     def body(state):
-        xp, _c, rounds = state
-        b = base if fold is None else fold(interior(xp))
-        xp, chg = one_round(rounds % 4, xp, b)
-        return xp, chg, rounds + 1
+        xp, chg, b_prev, rounds = state
+        if fold is None:
+            b, prev = base, chg
+        else:
+            b = fold(interior(xp))
+            prev = chg | _block_any(b != b_prev, B)
+        xp, chg = one_round(rounds % 4, xp, b, prev)
+        return xp, chg, b, rounds + 1
 
-    xp, _, rounds = jax.lax.while_loop(cond, body, (xp, chg0, jnp.int32(1)))
+    xp, _, _, rounds = jax.lax.while_loop(cond, body,
+                                          (xp, chg0, b0, jnp.int32(1)))
     return interior(xp), rounds
 
 

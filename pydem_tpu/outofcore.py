@@ -90,13 +90,15 @@ def _sb_uca_solve(x_win, elev_win, dir_win, flats_win, theta_win, base_eff,
 
     def cond_fn(state):
         _xp, changed, r = state
-        return jnp.logical_and(changed > 0, r < max_rounds)
+        return jnp.logical_and(jnp.sum(changed) > 0, r < max_rounds)
 
     def body(state):
-        xp, _c, r = state
+        xp, prev, r = state
+        # thread the per-block flags: quiescent blocks inside the window
+        # are skipped in later rounds (cross-round frontier)
         xp, chg = gs_round_oriented(xp, kp, w1p, base_eff, (o0 + r) % 4,
                                     B=B, inner_max=inner_max,
-                                    interpret=interpret)
+                                    interpret=interpret, prev=prev)
         return xp, chg, r + 1
 
     xp, _, rounds = jax.lax.while_loop(cond_fn, body, (xp, chg, jnp.int32(1)))

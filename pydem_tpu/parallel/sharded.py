@@ -164,11 +164,18 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
 
     Halo/compute overlap: each round relaxes the shard's INTERIOR blocks
     first — those never read the pad ring, so the round's ppermute has no
-    data dependency on them and XLA schedules the collective-permute
-    concurrently with the interior Pallas call — then relaxes the BOUNDARY
-    blocks against the just-landed ring (``subset=`` splitting in
-    _gs_kernel).  Shards smaller than 3×3 blocks have no interior and fall
-    back to the serial order.  Measured overlap: ``measure_halo_overlap``.
+    data dependency on them and XLA is free to schedule the
+    collective-permute concurrently with the interior Pallas call — then
+    relaxes the BOUNDARY blocks against the just-landed ring (``subset=``
+    grids in _gs_kernel: each subset call visits ONLY its own blocks, so
+    the split round costs its share of a full round, measured
+    ``t_full ≈ t_exchange + t_relax`` on the CPU stand-in mesh).  Whether
+    the exchange is actually HIDDEN is an XLA scheduling property of the
+    real TPU backend (async collective-permute start/done pairs); the CPU
+    virtual mesh executes collectives inline, so ``measure_halo_overlap``
+    there bounds the split's *overhead* (≈0) rather than demonstrating
+    concurrency.  Shards smaller than 3×3 blocks have no interior and
+    fall back to the serial order.
 
     Exact same fixed point as the single-device solvers (chaotic relaxation
     on the pruned acyclic drainage graph).  Shards at the canvas boundary
@@ -248,7 +255,7 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
                 xp, chg = gs_round_oriented(xp, k_pad, w1_pad, base_l, o,
                                             B=B, inner_max=inner_max,
                                             interpret=interpret)
-                return xp, jax.lax.psum(chg, ("y", "x"))
+                return xp, jax.lax.psum(jnp.sum(chg), ("y", "x"))
             # overlapped: the ppermutes depend only on the INCOMING canvas,
             # the interior relax never reads the pad ring -> XLA runs them
             # concurrently; boundary blocks then relax against the landed
@@ -263,7 +270,8 @@ def accumulate_sharded(base, W, mesh, B=None, inner_max=None,
                                           inner_max=inner_max,
                                           interpret=interpret,
                                           subset="boundary")
-            return xp, jax.lax.psum(chg_i + chg_b, ("y", "x"))
+            return xp, jax.lax.psum(jnp.sum(chg_i) + jnp.sum(chg_b),
+                                    ("y", "x"))
 
         xp0 = jnp.pad(base_l, ((HR, HR), (HC, HC)))
         xp, chg = one_round(jnp.int32(0), xp0)
@@ -344,7 +352,7 @@ def accumulate_sharded_pits(base, W, mesh, pit_src, pit_dst, pit_w, B=None,
         xp, chg = gs_round_oriented(xp, k_pad, w1_pad, b_l, o, B=B,
                                     inner_max=inner_max, interpret=interpret)
         return (xp[HR: HR + n_l, HC: HC + m_l],
-                jax.lax.psum(chg, ("y", "x")))
+                jax.lax.psum(jnp.sum(chg), ("y", "x")))
 
     def fold(x):
         contrib = x.ravel()[pit_src] * pit_w

@@ -169,7 +169,7 @@ def test_blocked_gs_split_subsets_match():
         xp, chg_b = gs_round_oriented(xp, kp, w1p, base, o, B=B,
                                       inner_max=2 * B + 4, interpret=True,
                                       subset="boundary")
-        if int(chg_i) + int(chg_b) == 0:
+        if int(np.sum(chg_i)) + int(np.sum(chg_b)) == 0:
             break
     got = xp[HR: HR + n, HC: HC + n]
     np.testing.assert_array_almost_equal(np.asarray(ref), np.asarray(got),

@@ -63,6 +63,37 @@ def main():
         print("| %d | %dx%d | %d | %d | %.4f | %.4f | %.4f | %.2f |"
               % (nd, shape[0], shape[1], r, hb, te, tr, tf, ov))
 
+    # label_flood under sharding (the one non-stencil op in the pipeline:
+    # its hook/compress phases lower to cross-shard scatter/gathers on
+    # flats-heavy canvases — measured here so the cost is a number, not a
+    # caveat).  Quantized terrain -> ~half the canvas is flat regions.
+    import time
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pydem_tpu.core.flats_device import _flat_mask
+    from pydem_tpu.core.slope_direction import label_flood
+
+    eq = jnp.floor(elev * 8.0) / 8.0  # quantize -> flats-heavy
+    prog = jax.jit(lambda e: label_flood(_flat_mask(e, False), e)[0])
+    print()
+    print("| devices | mesh | flat px | label_flood (s) |")
+    print("|---|---|---|---|")
+    for nd in (1, 8):
+        shape = {1: (1, 1), 8: (2, 4)}[nd]
+        mesh = Mesh(np.asarray(devs[:nd]).reshape(shape), ("y", "x"))
+        e_s = jax.device_put(eq, NamedSharding(mesh, P("y", "x")))
+        out = prog(e_s)
+        jax.block_until_ready(out)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(prog(e_s))
+            best = min(best, time.perf_counter() - t0)
+        nflat = int(_flat_mask(eq, False).sum())
+        print("| %d | %dx%d | %d | %.4f |"
+              % (nd, shape[0], shape[1], nflat, best))
+
 
 if __name__ == "__main__":
     main()
