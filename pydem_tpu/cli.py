@@ -88,10 +88,23 @@ def process(argv=None):
                     "(mosaic, condition, slope, UCA, TWI, export)")
     p.add_argument("directory", help="directory of input GeoTIFF tiles")
     p.add_argument("--out", default=None, help="output directory for GeoTIFFs")
+    p.add_argument("--store", default=None,
+                   help="intermediate store path (default "
+                        "<directory>/results.zarr)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages whose outputs already exist in the "
+                        "store (crash/preemption recovery)")
+    p.add_argument("--out-of-core", action="store_true",
+                   help="stream super-blocks through the store instead of "
+                        "holding one canvas (bounded host memory)")
+    p.add_argument("--superblock", type=int, default=4096,
+                   help="out-of-core super-block size (pixels)")
     args = p.parse_args(argv)
     from .manager import ProcessManager
 
-    pm = ProcessManager(in_path=args.directory)
+    pm = ProcessManager(in_path=args.directory, out_path=args.store,
+                        resume=args.resume, out_of_core=args.out_of_core,
+                        superblock=args.superblock)
     pm.process_twi()
     written = pm.save_non_overlap_data_geotiff(args.out)
     for fn in written:

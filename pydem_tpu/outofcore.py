@@ -152,6 +152,7 @@ class OutOfCoreEngine:
         self.min_area = float(np.nanmin(self.dX2 * self.dY2))
         self.timer = timer
         self._links = None
+        self._drained = None
 
     # -- helpers -------------------------------------------------------------
 
@@ -279,16 +280,21 @@ class OutOfCoreEngine:
         if self.resume and os.path.exists(fn) and self._links is None:
             with np.load(fn) as z:
                 self._links = (z["src"], z["dst"], z["w"])
+                if "drained_idx" in z:
+                    self._drained = (z["drained_idx"], z["drained_mag"])
             return self._links
+        self._drained = (np.zeros(0, "int64"), np.zeros(0, "float64"))
         if not self.dp.drain_pits:
             self._links = (np.zeros(0, "int64"), np.zeros(0, "int64"),
                            np.zeros(0, "float64"))
             np.savez(fn, src=self._links[0], dst=self._links[1],
-                     w=self._links[2])
+                     w=self._links[2], drained_idx=self._drained[0],
+                     drained_mag=self._drained[1])
             return self._links
         M = self.margin
         n, m = self.shape
         src_all, dst_all, w_all = [], [], []
+        drained_idx, drained_mag = [], []
         for bi, bj in self._blocks():
             (i0, i1), (j0, j1) = self._interior(bi, bj)
             r0, r1 = max(0, i0 - M), min(n, i1 + M)
@@ -312,12 +318,23 @@ class OutOfCoreEngine:
             dst_all.append((di[keep] + r0) * m + dj[keep] + c0)
             w_all.append(w[keep])
             sl = (slice(i0 - r0, i1 - r0), slice(j0 - c0, j1 - c0))
+            # drained-pit diff (flats cleared, mag set): lets the fused
+            # device-resident pipeline apply the updates as a tiny scatter
+            # instead of re-uploading the whole flats/slope canvases
+            dmask = flats[sl] & ~flats2[sl]
+            ddi, ddj = np.nonzero(dmask)
+            drained_idx.append((ddi + i0) * m + ddj + j0)
+            drained_mag.append(mag2[sl][dmask])
             self.store.write_window("flats", flats2[sl], (i0, j0))
             self.store.write_window("slope", mag2[sl], (i0, j0))
         self._links = (np.concatenate(src_all).astype("int64"),
                        np.concatenate(dst_all).astype("int64"),
                        np.concatenate(w_all))
-        np.savez(fn, src=self._links[0], dst=self._links[1], w=self._links[2])
+        self._drained = (np.concatenate(drained_idx).astype("int64"),
+                         np.concatenate(drained_mag).astype("float64"))
+        np.savez(fn, src=self._links[0], dst=self._links[1],
+                 w=self._links[2], drained_idx=self._drained[0],
+                 drained_mag=self._drained[1])
         return self._links
 
     # -- stage 4: UCA super-block Gauss-Seidel rounds -------------------------
@@ -363,11 +380,50 @@ class OutOfCoreEngine:
         # section/K int32, flats 1B, padding slack -> ~20 planes
         return 20 * n * m * isz <= cap
 
-    def _uca_device_resident(self, state_fn):
-        """Spill-to-HBM UCA: stream the static canvases to the device once,
-        run the global Pallas blocked GS solve (the SAME solver as the
-        in-HBM pipeline, api._solve_uca), stream the state back.  Exact:
-        the streaming path's per-window weights reproduce the global
+    def _padded_dims(self):
+        """(np_, mp_, sharding): mesh-divisible padded canvas dims."""
+        n, m = self.shape
+        if self.mesh is not None:
+            from .parallel.sharded import canvas_sharding
+
+            gy, gx = self.mesh.devices.shape
+            return (n + (-n) % gy, m + (-m) % gx,
+                    canvas_sharding(self.mesh))
+        return n, m, None
+
+    def _gather_canvas(self, name, dtype, fill=0):
+        """Stream store windows up into a (sharded) device canvas — host
+        never holds more than one S² window."""
+        np_, mp_, sh = self._padded_dims()
+        upd = jax.jit(
+            lambda c, b, i, j: jax.lax.dynamic_update_slice(c, b, (i, j)),
+            donate_argnums=(0,))
+        if sh is None:
+            c = jnp.full((np_, mp_), fill, dtype)
+        else:
+            c = jax.jit(lambda: jnp.full((np_, mp_), fill, dtype),
+                        out_shardings=sh)()
+        for bi, bj in self._blocks():
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            w = self.store.read_window(name, (i0, i1), (j0, j1))
+            c = upd(c, jnp.asarray(np.asarray(w, dtype)), i0, j0)
+        return c
+
+    def _scatter_canvas(self, name, dev, dtype=None, fill=np.nan):
+        """Stream a device canvas down into store windows."""
+        self._create(name, dtype or self._work_dtype, fill=fill)
+        for bi, bj in self._blocks():
+            (i0, i1), (j0, j1) = self._interior(bi, bj)
+            self.store.write_window(name, np.asarray(dev[i0:i1, j0:j1]),
+                                    (i0, j0))
+
+    def _uca_device_resident(self, state_fn, elev=None, direction=None,
+                             flats=None):
+        """Spill-to-HBM UCA: stream the static canvases to the device once
+        (or take them already device-resident from the fused pipeline), run
+        the global Pallas blocked GS solve (the SAME solver as the in-HBM
+        pipeline, api._solve_uca), stream the state back.  Exact: the
+        streaming path's per-window weights reproduce the global
         receiver_weights (see _sb_uca_solve), and here they ARE the global
         weights."""
         from .api import _solve_uca
@@ -375,39 +431,17 @@ class OutOfCoreEngine:
         n, m = self.shape
         wd = np.dtype(self._work_dtype)
         mesh = self.mesh
-        if mesh is not None:
-            from .parallel.sharded import canvas_sharding
-
-            gy, gx = mesh.devices.shape
-            np_, mp_ = n + (-n) % gy, m + (-m) % gx
-            sh = canvas_sharding(mesh)
-        else:
-            np_, mp_, sh = n, m, None
-
-        upd = jax.jit(
-            lambda c, b, i, j: jax.lax.dynamic_update_slice(c, b, (i, j)),
-            donate_argnums=(0,))
-
-        def gather(name, dtype, fill=0):
-            """Stream store windows up into a (sharded) device canvas —
-            host never holds more than one S² window."""
-            if sh is None:
-                c = jnp.full((np_, mp_), fill, dtype)
-            else:
-                c = jax.jit(lambda: jnp.full((np_, mp_), fill, dtype),
-                            out_shardings=sh)()
-            for bi, bj in self._blocks():
-                (i0, i1), (j0, j1) = self._interior(bi, bj)
-                w = self.store.read_window(name, (i0, i1), (j0, j1))
-                c = upd(c, jnp.asarray(np.asarray(w, dtype)), i0, j0)
-            return c
+        np_, mp_, _sh = self._padded_dims()
 
         # NaN pad beyond the logical canvas: exactly the out-of-grid
         # pruning semantics (receiver_weights' NaN-shift comparisons), so
         # the mesh-divisibility pad does not blur the true canvas edge
-        elev = gather("elev", wd, fill=np.nan)
-        direction = gather("aspect", wd)
-        flats = gather("flats", bool, fill=False)
+        if elev is None:
+            elev = self._gather_canvas("elev", wd, fill=np.nan)
+        if direction is None:
+            direction = self._gather_canvas("aspect", wd)
+        if flats is None:
+            flats = self._gather_canvas("flats", bool, fill=False)
         theta = jnp.asarray(np.pad(self.theta, (0, np_ - n), mode="edge"),
                             wd)
         base = jnp.broadcast_to(
@@ -456,16 +490,12 @@ class OutOfCoreEngine:
                              B=self.B, interpret=self.interpret,
                              has_pits=has_pits)
 
-        self._create("uca_state", self._work_dtype, fill=0.0)
-        for bi, bj in self._blocks():
-            (i0, i1), (j0, j1) = self._interior(bi, bj)
-            self.store.write_window("uca_state",
-                                    np.asarray(x[i0:i1, j0:j1]), (i0, j0))
+        self._scatter_canvas("uca_state", x, fill=0.0)
         rounds = int(rounds)
         with open(state_fn, "w") as f:
             json.dump({"round": rounds, "mode": "device"}, f)
         self.uca_rounds = rounds
-        return rounds
+        return rounds, x
 
     def uca(self, max_rounds=10_000):
         """Iterate super-block GS rounds to the global fixed point.
@@ -487,7 +517,8 @@ class OutOfCoreEngine:
                 return self.uca_rounds
             start_round = st["round"]
         elif self._fits_device_resident():
-            return self._uca_device_resident(state_fn)
+            rounds, _x = self._uca_device_resident(state_fn)
+            return rounds
         else:
             # init state = base area
             self._create("uca_state", self._work_dtype, fill=0.0)
@@ -661,9 +692,90 @@ class OutOfCoreEngine:
         S = self.S
         return (((S + 2) ** 2 - S * S) / float(S * S))
 
+    def _run_fused_device(self):
+        """Whole post-conditioning pipeline device-resident: one elev
+        upload, slope/flats/UCA/TWI computed on-chip, outputs streamed
+        down once.  Halves the host↔device traffic of the staged path
+        (no aspect/flats re-upload for UCA, no uca_state/flats/slope
+        re-upload for finalize) — the pit-link stage's flats/slope
+        mutations come back as a tiny index scatter instead of canvases.
+        Bit-identical to the staged path (same programs, same windows)."""
+        n, m = self.shape
+        wd = np.dtype(self._work_dtype)
+        np_, mp_, _sh = self._padded_dims()
+        state_fn = os.path.join(self.store.root, "_oocore_uca.json")
+
+        with self._stage("condition"):
+            self.condition()
+
+        with self._stage("slope_direction"):
+            elev = self._gather_canvas("elev", wd, fill=np.nan)
+            mag, direction, flats = _slope_program(
+                elev, jnp.asarray(np.pad(self.dX, (0, np_ - n),
+                                         mode="edge"), wd),
+                jnp.asarray(np.pad(self.dY, (0, np_ - n), mode="edge"),
+                            wd))
+            # store outputs stream down while the host runs pit growth
+            self._scatter_canvas("slope", mag)
+            self._scatter_canvas("aspect", direction)
+            self._scatter_canvas("flats", flats, dtype="bool", fill=False)
+
+        with self._stage("pit_links"):
+            src, dst, w = self.pit_links()
+        dri, drm = self._drained if self._drained is not None else (
+            np.zeros(0, "int64"), np.zeros(0, "float64"))
+        # apply the pit-link flats/mag mutations on device (store copies
+        # were updated by pit_links on host)
+        if dri.size:
+            dri_p = (dri // m) * mp_ + dri % m
+            flats = flats.ravel().at[dri_p].set(False).reshape(flats.shape)
+            mag = (mag.ravel().at[dri_p].set(
+                jnp.asarray(drm, wd)).reshape(mag.shape))
+
+        with self._stage("uca"):
+            rounds, x = self._uca_device_resident(
+                state_fn, elev=elev, direction=direction, flats=flats)
+
+        with self._stage("finalize"):
+            dp = self.dp
+
+            @jax.jit
+            def fin(x, flats, mag):
+                uca = jnp.where(flats, jnp.nan, x)
+                t = twi_fn(uca, mag, self.min_area,
+                           min_slope=dp.twi_min_slope,
+                           saturation_limit=dp.uca_saturation_limit,
+                           cap_uca=dp.apply_twi_limits_on_uca,
+                           cap_twi=dp.apply_twi_limits)
+                return uca, t
+
+            uca, twi = fin(x, flats, mag.astype(x.dtype))
+            self._scatter_canvas("uca", uca)
+            self._scatter_canvas("twi", twi)
+        return rounds
+
     def run(self):
         """elev_src → conditioned elev → slope/aspect/flats → pit links →
-        UCA rounds → uca/twi, all bounded-memory."""
+        UCA rounds → uca/twi.  Bounded host memory in both regimes; with
+        the canvases inside the device budget the post-conditioning stages
+        fuse into one device-resident pass (``_run_fused_device``),
+        otherwise every stage streams super-blocks through the store."""
+        if self.resume and "twi" in self.store and os.path.exists(
+                os.path.join(self.store.root, "_oocore_uca.json")):
+            with open(os.path.join(self.store.root,
+                                   "_oocore_uca.json")) as f:
+                self.uca_rounds = json.load(f)["round"]
+            return
+        # the fused path computes slope/direction globally; a mesh-divisible
+        # pad would move the canvas edge (whose facet subsets are
+        # positional), so fusion requires an unpadded canvas — padded mesh
+        # runs use the staged stages (windowed slope + device-resident UCA)
+        np_, mp_, _sh = self._padded_dims()
+        if (self._fits_device_resident()
+                and (np_, mp_) == self.shape
+                and not (self.resume and "uca_state" in self.store)):
+            self._run_fused_device()
+            return
         with self._stage("condition"):
             self.condition()
         with self._stage("slope_direction"):

@@ -57,3 +57,29 @@ def test_deploy_golden_check():
         cwd=os.path.join(os.path.dirname(__file__), ".."),
         capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_process_cli_out_of_core_resume_flags(tmp_path):
+    """`process --out-of-core --resume` flags drive the OOC engine and
+    crash-resume machinery (the docs/CLOUD.md recipe's exact invocation)."""
+    from pydem_tpu import fixtures, manager
+    from pydem_tpu.cli import process
+
+    manager.DEBUG = True
+    try:
+        chunks = fixtures.mk_test_multifile(33, 32, str(tmp_path),
+                                            nx_grid=2, ny_grid=2,
+                                            nx_overlap=2, ny_overlap=2)
+        out = str(tmp_path / "out")
+        rc = process([chunks, "--out", out, "--out-of-core",
+                      "--superblock", "16", "--resume"])
+        assert rc in (0, None)
+        import os
+
+        assert os.path.exists(os.path.join(out, "twi.tif"))
+        # resume rerun: no recompute of finished stages, same result
+        rc = process([chunks, "--out", out, "--out-of-core",
+                      "--superblock", "16", "--resume"])
+        assert rc in (0, None)
+    finally:
+        manager.DEBUG = False
