@@ -138,6 +138,21 @@ def _uca_chain_program(elev, section, proportion, flats, mag, dX2, dY2,
     return area, n_sweeps, min_area, edge_todo, flats, mag
 
 
+@partial(jax.jit, static_argnames=("below_sea",))
+def _has_pits_program(elev, below_sea=False):
+    """Any pit present? (ring-minimum strictly above center & sea mask —
+    the exact pit test of conditioning.drain_pit_paths).  One scalar
+    crosses the host boundary; a pit-free canvas then skips the carve's
+    two full-canvas transfers."""
+    from .core.stencil import NEIGHBOR_OFFSETS, shift
+
+    mn = jnp.full(elev.shape, jnp.inf, elev.dtype)
+    for di, dj in NEIGHBOR_OFFSETS:
+        mn = jnp.minimum(mn, shift(elev, di, dj, jnp.inf))
+    sea = (elev != 0) if below_sea else (elev > 0)
+    return jnp.any((mn > elev) & sea)
+
+
 @partial(jax.jit, static_argnames=("on_uca", "limits"))
 def _twi_program(uca, mag, min_area, min_slope, sat_limit, on_uca, limits):
     """TWI on device (dem_processing.py:1647-1677 semantics, x10 stored)."""
@@ -585,7 +600,10 @@ class DEMProcessor:
                 below_sea=self.fill_flats_below_sea,
                 maximum_pit_area=self.maximum_pit_area,
             )
-        if self.drain_pits_path:
+        if self.drain_pits_path and bool(_has_pits_program(
+                elev_d, below_sea=self.fill_flats_below_sea)):
+            # host carve round trip (2 canvas transfers) only when pits
+            # actually exist — the scalar pit check costs one RTT
             elev_np = cond.drain_pit_paths(
                 np.asarray(elev_d), self.dX, self.dY,
                 max_iter=self.drain_pits_max_iter,
