@@ -216,15 +216,27 @@ class _Field:
         obj.__dict__[self._dev] = None
 
 
-def _pad_pits(pit_src, pit_dst, pit_w):
-    """Pad pit-link triples to a power-of-two bucket so the jitted UCA
-    program recompiles O(log P) times, not once per pit count.  Padding
-    entries have weight 0 (no-ops in the scatter).  The floor of 1024
-    keeps terrains whose link count jitters around a small power of two
-    (e.g. repeated runs with perturbed elevations) from flip-flopping
-    compile keys — a 1024-entry scatter is noise next to the solve."""
-    p = len(pit_src)
+def _bucket_floor(n_px, divisor=256):
+    """Canvas-derived padding bucket: compile keys must be a function of
+    the canvas SHAPE for typical terrains, not of data-dependent counts —
+    counts that jitter across a power-of-two boundary between runs
+    (perturbed reruns of the same terrain) would otherwise recompile the
+    multi-second Pallas solve per run.  n_px/divisor bounds the typical
+    pit/link density with a generous margin; only terrains beyond it pay
+    a (rare) data-dependent recompile."""
     cap = 1024
+    while cap < n_px // divisor:
+        cap *= 2
+    return cap
+
+
+def _pad_pits(pit_src, pit_dst, pit_w, floor=1024):
+    """Pad pit-link triples to a power-of-two bucket (>= a canvas-derived
+    floor, see _bucket_floor) so the jitted UCA program's compile key is
+    shape-stable.  Padding entries have weight 0 (no-ops in the
+    scatter)."""
+    p = len(pit_src)
+    cap = floor
     while cap < p:
         cap *= 2
     pad = cap - p
@@ -642,12 +654,12 @@ class DEMProcessor:
         keep = wgt > 1e-8  # adjacency pruning, dem_processing.py:1136
         src, dst, wgt = src[keep], dst[keep], wgt[keep]
         has_pits = src.size > 0
-        src, dst, wgt = _pad_pits(src, dst, wgt)
+        floor = _bucket_floor(elev_d.size)
+        src, dst, wgt = _pad_pits(src, dst, wgt, floor=floor)
         has_drained = drained_idx.size > 0
-        if has_drained:  # pad to a power-of-two bucket (recompile control;
-            # floor 1024 so jittered counts keep one compile key);
+        if has_drained:  # pad to a shape-stable bucket (recompile control);
             # repeating real entries is idempotent for the set-scatters
-            cap = 1024
+            cap = floor
             while cap < drained_idx.size:
                 cap *= 2
             rep = cap - drained_idx.size
@@ -714,7 +726,9 @@ class DEMProcessor:
         pit_src, pit_dst, pit_w = pit_src[keep], pit_dst[keep], pit_w[keep]
 
         has_pits = pit_src.size > 0
-        pit_src, pit_dst, pit_w = _pad_pits(pit_src, pit_dst, pit_w)
+        pit_src, pit_dst, pit_w = _pad_pits(
+            pit_src, pit_dst, pit_w,
+            floor=_bucket_floor(np.asarray(self.elev).size))
 
         area, n_sweeps, min_area, edge_todo = _uca_program(
             jnp.asarray(self.elev), section, proportion, jnp.asarray(flats2),
