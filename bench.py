@@ -161,11 +161,14 @@ def bench_tpu(n, reps=5):
     t_one = time.perf_counter() - t0
 
     # best-of-3: one tunnel sync per batch (advisor r3: committed numbers
-    # were single-run and tunnel-jitter noisy)
+    # were single-run and tunnel-jitter noisy).  Each batch gets a distinct
+    # input perturbation — a byte-identical replay on the axon tunnel can
+    # spuriously return in ~0.1 ms (advisor r4 / memory: result memoization)
     dt = np.inf
-    for _ in range(3):
+    for b in (1, 2, 3):
+        eb = elev + jnp.float32(b * 1e-4)
         t0 = time.perf_counter()
-        sync = int(multi(elev, *args, reps=reps))
+        sync = int(multi(eb, *args, reps=reps))
         dt = min(dt, (time.perf_counter() - t0) / reps)
 
     out = terrain_step(elev, *args, uca_solver=solver)
@@ -285,7 +288,9 @@ def bench_slope_only(n):
 
     elev = jnp.asarray(make_cone(n))
     dX = jnp.ones(n - 1, jnp.float32)
-    eps = [jnp.float32(1e-6 * (i + 1)) for i in range(6)]
+    # distinct eps per (batch, rep): identical replays on the axon tunnel
+    # can return spuriously fast (memoization; advisor r4)
+    eps = [jnp.float32(1e-6 * (i + 1)) for i in range(20)]
     out = prog(elev + eps[-1], dX, dX)
     np.asarray(out[0])
     reps = 5
@@ -293,10 +298,10 @@ def bench_slope_only(n):
     # batches (advisor r3: single-run numbers committed as the record were
     # dominated by per-dispatch tunnel jitter)
     best = np.inf
-    for _ in range(3):
+    for b in range(3):
         t0 = time.perf_counter()
         for i in range(reps):
-            out = prog(elev + eps[i], dX, dX)
+            out = prog(elev + eps[b * reps + i], dX, dX)
         float(out[3])
         best = min(best, (time.perf_counter() - t0) / reps)
     dt = best
@@ -339,8 +344,9 @@ def bench_stages(n):
 
     def timeit(prog):
         float(prog(elev))  # compile + warm
+        ep = elev + jnp.float32(3e-4)  # not a replay of the warm batch
         t0 = time.perf_counter()
-        float(prog(elev))
+        float(prog(ep))
         return (time.perf_counter() - t0) / REPS
 
     def s_slope(e):
@@ -373,8 +379,9 @@ def bench_stages(n):
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
 
     float(prog_gs(base, W))
+    bp = base + jnp.float32(3e-6)  # not a replay of the warm batch
     t0 = time.perf_counter()
-    float(prog_gs(base, W))
+    float(prog_gs(bp, W))
     t_gs = (time.perf_counter() - t0) / REPS
     rounds = int(accumulate_blocked_gs(base, W, B=256)[1])
 

@@ -143,12 +143,18 @@ def _has_pits_program(elev, below_sea=False):
     """Any pit present? (ring-minimum strictly above center & sea mask —
     the exact pit test of conditioning.drain_pit_paths).  One scalar
     crosses the host boundary; a pit-free canvas then skips the carve's
-    two full-canvas transfers."""
+    two full-canvas transfers.
+
+    NaN-insensitive (fmin): a NaN (no-data) neighbor must count as +inf, not
+    poison the ring minimum — the exact host test (scipy minimum_filter in
+    drain_pit_paths) ignores non-leading NaNs and does flag pits beside
+    no-data holes.  False positives only cost the host round trip, which
+    applies the exact test itself."""
     from .core.stencil import NEIGHBOR_OFFSETS, shift
 
     mn = jnp.full(elev.shape, jnp.inf, elev.dtype)
     for di, dj in NEIGHBOR_OFFSETS:
-        mn = jnp.minimum(mn, shift(elev, di, dj, jnp.inf))
+        mn = jnp.fmin(mn, shift(elev, di, dj, jnp.inf))
     sea = (elev != 0) if below_sea else (elev > 0)
     return jnp.any((mn > elev) & sea)
 
@@ -685,6 +691,11 @@ class DEMProcessor:
         # read (manager metrics etc.)
         self.__dict__["_uca_sweeps_dev"] = n_sweeps
         self.__dict__.pop("_uca_sweeps_val", None)
+        # fold any still-pending previous solve's min_area (the reference
+        # accumulates min(self.twi_min_area, min_area) per calc_uca call)
+        prev_pending = self.__dict__.get("_min_area_dev")
+        if prev_pending is not None:
+            min_area = jnp.minimum(prev_pending, min_area)
         self.__dict__["_min_area_dev"] = min_area
         self._set_dev("uca", area)
         self._set_dev("mag", mag2)

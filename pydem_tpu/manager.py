@@ -404,7 +404,6 @@ class ProcessManager:
                 dp.twi_min_area = min(dp.twi_min_area, sp.min_area)
             else:
                 dp.calc_uca()
-        self.out_file["uca"] = dp.uca
         # real edge state from the solve: canvas-boundary pixels that await
         # inflow from OUTSIDE the mosaic stay todo (dem_processing.py:
         # 909-930); everything else is done by construction of the global
@@ -419,6 +418,10 @@ class ProcessManager:
         with open(state_fn, "w") as f:
             json.dump({"twi_min_area": float(dp.twi_min_area),
                        "uca_sweeps": int(getattr(dp, "uca_sweeps", -1))}, f)
+        # the 'uca' array LAST: _resume_hit("uca") takes the skip path on its
+        # presence alone, so every other artifact the resumed run needs
+        # (edge_todo/edge_done/_uca_state.json) must already be durable
+        self.out_file["uca"] = dp.uca
         return dp.uca
 
     def process_uca_edges(self, indices=None):

@@ -243,6 +243,11 @@ def _subset_grid(nb_i, nb_j, subset):
     """Grid shape for a GS round restricted to ``subset`` blocks."""
     if subset == "all":
         return (nb_i, nb_j)
+    # the frame/interior mappings assume a >=3x3 block grid (the sharded
+    # split gate); with nb_i < 3 the boundary frame undercounts and
+    # duplicates blocks — refuse rather than relax the wrong blocks
+    assert nb_i >= 3 and nb_j >= 3, \
+        "subset rounds need a >=3x3 block grid (got %dx%d)" % (nb_i, nb_j)
     if subset == "interior":
         return (nb_i - 2, nb_j - 2)
     return (1, 2 * nb_j + 2 * (nb_i - 2))  # boundary frame, row-major-ish

@@ -53,6 +53,48 @@ def test_apply_uca_limit_edges_marks_saturated_edges_done():
     assert extra.any() and (extra <= sat).all()
 
 
+def test_pit_gate_sees_pit_beside_nan_hole():
+    """A pit whose every true pit borders a NaN no-data pixel must still trip
+    the device pit gate (advisor r4 high): jnp.minimum would propagate the
+    NaN and silently skip the carve, diverging conditioned elevation from
+    the reference (whose scipy minimum_filter ignores non-leading NaNs)."""
+    import jax.numpy as jnp
+
+    from pydem_tpu.api import _has_pits_program
+
+    elev = _elev(16) + 1.0
+    elev[7, 7] = 0.5          # the only pit
+    elev[7, 8] = np.nan       # no-data hole adjacent to it
+    assert bool(_has_pits_program(jnp.asarray(elev)))
+    # the gate must be a superset of the exact host detection: the host
+    # pass sees this pit too (it cannot drain it — the NaN poisons its
+    # border minimum — but it detects it and warns, which a False gate
+    # would silently skip)
+    from pydem_tpu.core.conditioning import drain_pit_paths
+
+    with pytest.warns(UserWarning, match="no place to drain"):
+        drain_pit_paths(elev, np.ones(15), np.ones(15), native=False)
+
+
+def test_min_area_pending_folds_across_solves():
+    """Two calc_uca calls with no intervening host read must still
+    accumulate min(min_area) across solves (advisor r4: the pending device
+    scalar was overwritten)."""
+    dp = DEMProcessor(elev=_elev(16), conditioning_backend="device",
+                      pit_backend="device")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dp.calc_uca()
+    # plant a smaller pending min_area as if an earlier solve produced it
+    import jax.numpy as jnp
+
+    dp.__dict__["_min_area_dev"] = jnp.asarray(0.25)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dp._calc_uca_device(fetch=False)
+    assert dp.twi_min_area == 0.25
+
+
 def test_device_fast_path_matches_staged():
     """The device-resident fast chain (fused programs, lazy state fetch)
     must produce the same uca/twi/mag/flats as the staged orchestration
