@@ -78,36 +78,59 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
     lbl_flat = jnp.where(flat, lbl, N).ravel()
 
     # ---- per-region border statistics --------------------------------
-    # For each pixel p and direction k, p "borders" the region of its flat
-    # neighbor q (p itself not flat-of-that-region is implied by elevation
-    # tests: region pixels have elev == e so they never count as sources,
-    # and count as drains only like the reference's equal-elevation border).
+    # Inside-out formulation: each REGION pixel r aggregates its non-flat
+    # neighbors b with a cheap fused VPU stencil (drain: b == rep; source
+    # candidates: b > rep), then ONE segment reduction per statistic keyed
+    # on r's own label.  Equivalent to reducing over border pixels per
+    # adjacent region (every (border b, region R) adjacency appears as some
+    # (r in R, neighbor b) pair; min/or are duplication-insensitive), but
+    # 2 segment scatters instead of 16 — TPU scatters at 1M ids cost ~10 ms
+    # each and dominated this stage.
     INF = jnp.asarray(jnp.inf, data.dtype)
-    drain_any = jnp.zeros(N + 1, bool)
-    src_min = jnp.full(N + 1, INF)
+    drain_local = jnp.zeros((n, m), bool)
+    src_local = jnp.full((n, m), INF)
     for di, dj in NEIGHBOR_OFFSETS:
-        q_lbl = shift(jnp.where(flat, lbl, N), di, dj, N)   # region p borders
-        q_rep = shift(rep, di, dj, jnp.nan)
-        is_border = (q_lbl < N) & ~flat  # p outside region, q in region
-        ids = jnp.where(is_border, q_lbl, N).ravel()
-        drain_any = drain_any | (
-            _seg("max", (is_border & (data == q_rep)).ravel().astype(jnp.int32),
-                 ids, N + 1, 0) > 0)
-        src_vals = jnp.where(is_border & (data > q_rep), data, INF).ravel()
-        src_min = jnp.minimum(src_min, _seg("min", src_vals, ids, N + 1, INF))
-
-    e_region = rep  # per-pixel (region pixels only)
-    esrc_of = src_min[lbl_flat].reshape(n, m)        # per region-pixel
-    has_src = jnp.isfinite(esrc_of)
-    has_drain = drain_any[lbl_flat].reshape(n, m)
-
-    # region size & single-pixel special case geometry
-    ones = jnp.where(flat, 1, 0).ravel()
-    count = _seg("sum", ones, lbl_flat, N + 1, 0)
-    count_of = count[lbl_flat].reshape(n, m)
+        b_e = shift(data, di, dj, jnp.nan)       # neighbor elevation at r
+        b_flat = shift(flat, di, dj, False)
+        nb = ~b_flat                             # border = non-flat neighbor
+        drain_local = drain_local | (nb & (b_e == rep))
+        src_local = jnp.minimum(src_local,
+                                jnp.where(nb & (b_e > rep), b_e, INF))
 
     ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    edge = jnp.zeros((n, m), bool)
+    edge = edge.at[0, :].set(True).at[-1, :].set(True)
+    edge = edge.at[:, 0].set(True).at[:, -1].set(True)
+
+    # stage-1 segment reductions (6 scatters; packing them into one
+    # offset-id scatter measured SLOWER — segment-op cost scales with
+    # num_segments), results packed into one float table so the per-pixel
+    # broadcast is one row gather instead of 6 scalar gathers
+    fdt = data.dtype
+    src_min = _seg("min", jnp.where(flat, src_local, INF).ravel(),
+                   lbl_flat, N + 1, INF)
+    ones_f = jnp.where(flat, 1, 0).ravel().astype(fdt)
+    drain_s = _seg("sum", (flat & drain_local).ravel().astype(fdt),
+                   lbl_flat, N + 1, 0)
+    count_s = _seg("sum", ones_f, lbl_flat, N + 1, 0)
+    si_s = _seg("sum", jnp.where(flat, ii, 0).ravel().astype(fdt),
+                lbl_flat, N + 1, 0)
+    sj_s = _seg("sum", jnp.where(flat, jj, 0).ravel().astype(fdt),
+                lbl_flat, N + 1, 0)
+    edge_s = _seg("sum", (flat & edge).ravel().astype(fdt),
+                  lbl_flat, N + 1, 0)
+
+    ftbl = jnp.stack([src_min, si_s, sj_s, count_s, drain_s, edge_s], axis=1)
+    fg = ftbl[lbl_flat].reshape(n, m, 6)
+    esrc_of = fg[..., 0]
+    si_of, sj_of = fg[..., 1], fg[..., 2]
+    has_src = jnp.isfinite(esrc_of)
+    count_of = fg[..., 3]
+    has_drain = fg[..., 4] > 0
+    edge_cnt_of = fg[..., 5]
+
+    e_region = rep  # per-pixel (region pixels only)
 
     # ---- single-pixel regions in <=3x3 windows (dem_processing.py:311-325)
     nbr_higher = jnp.zeros((n, m), jnp.int32)
@@ -137,13 +160,9 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
     eH = jnp.where(has_src, eH, e_region + 0.5)        # peak fallback
 
     # centroid (nearest in-region pixel to center of mass, scan-order ties)
-    si = _seg("sum", jnp.where(flat, ii, 0).ravel().astype(data.dtype),
-              lbl_flat, N + 1, 0)
-    sj = _seg("sum", jnp.where(flat, jj, 0).ravel().astype(data.dtype),
-              lbl_flat, N + 1, 0)
-    cnt_f = count.astype(data.dtype)
-    com_i = (si / jnp.maximum(cnt_f, 1))[lbl_flat].reshape(n, m)
-    com_j = (sj / jnp.maximum(cnt_f, 1))[lbl_flat].reshape(n, m)
+    cnt_f = count_of.astype(fdt)
+    com_i = si_of / jnp.maximum(cnt_f, 1)
+    com_j = sj_of / jnp.maximum(cnt_f, 1)
     dist2 = (ii - com_i) ** 2 + (jj - com_j) ** 2
     dmin = _seg("min", jnp.where(flat, dist2, INF).ravel(), lbl_flat, N + 1, INF)
     at_min = flat & (dist2 == dmin[lbl_flat].reshape(n, m))
@@ -153,21 +172,15 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
     is_centroid = flat & (idx_flat.reshape(n, m) == cent_idx[lbl_flat].reshape(n, m))
 
     # edge-touching regions (upstream river beds): drain to the array edge
-    edge = jnp.zeros((n, m), bool)
-    edge = edge.at[0, :].set(True).at[-1, :].set(True)
-    edge = edge.at[:, 0].set(True).at[:, -1].set(True)
-    touches_edge = _seg("max", (flat & edge).ravel().astype(jnp.int32),
-                        lbl_flat, N + 1, 0) > 0
-    touches_of = touches_edge[lbl_flat].reshape(n, m)
+    touches_of = edge_cnt_of > 0
 
     # drain seeds: border pixels with elev == e (normal), else region∩edge,
     # else centroid (pits)
     use_edge_drain = ~has_drain & touches_of
     use_pit_drain = ~has_drain & ~touches_of & bool(fill_pits)
     # region entirely on the edge would have no interior to interpolate
-    non_drain_cnt = _seg("sum", (flat & ~edge).ravel().astype(jnp.int32),
-                         lbl_flat, N + 1, 0)
-    edge_drain_ok = (non_drain_cnt > 0)[lbl_flat].reshape(n, m)
+    # (non-edge pixel count = count - edge count; no extra scatter)
+    edge_drain_ok = (count_of - edge_cnt_of) > 0
 
     # peaks: centroid becomes the source, raised to eH
     peak_region = multi & ~has_src & bool(fill_peaks)
@@ -251,15 +264,16 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
             lambda s: s[5], body_a,
             (dA0, dB0, arrA0, arrB0, jnp.int32(0), jnp.asarray(True)))
 
-        # One segment reduction per distance: each region's freeze sweep =
-        # its last arrival (the reference breaks out of get_distance then).
-        def t_px_of(arrival):
-            T = _seg("max", jnp.where(flat, arrival, -1).ravel(), lbl_flat,
-                     N + 1, -1)
-            return T[lbl_flat].reshape(n, m)
-
-        TA_px = t_px_of(arrivalA)
-        TB_px = t_px_of(arrivalB)
+        # Freeze sweep per region per distance = its last arrival (the
+        # reference breaks out of get_distance then).  One packed segment
+        # reduction + one row gather for both distances.
+        ids2 = jnp.concatenate([lbl_flat, lbl_flat + (N + 1)])
+        vals2 = jnp.concatenate([jnp.where(flat, arrivalA, -1).ravel(),
+                                 jnp.where(flat, arrivalB, -1).ravel()])
+        T2 = _seg("max", vals2, ids2, 2 * (N + 1), -1)
+        ttbl = T2.reshape(2, N + 1).T
+        tg = ttbl[lbl_flat].reshape(n, m, 2)
+        TA_px, TB_px = tg[..., 0], tg[..., 1]
 
         # Phase B (pure stencil): rerun, capturing each pixel's value at its
         # region's freeze sweep.  Unreached regions keep converged values.
@@ -316,32 +330,34 @@ def _fill_pit_artifacts(elev, below_sea, maximum_pit_area):
     lbl, rep = _labels(flat, elev)
     lbl_flat = jnp.where(flat, lbl, N).ravel()
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
-    BIGI = jnp.int32(1 << 30)
-
-    def seg(op, vals, init):
-        return _seg(op, vals, lbl_flat, N + 1, init)
-
-    cnt = seg("sum", jnp.where(flat, 1, 0).ravel(), 0)
-    imin = seg("min", jnp.where(flat, ii, BIGI).ravel(), BIGI)
-    imax = seg("max", jnp.where(flat, ii, -1).ravel(), -1)
-    jmin = seg("min", jnp.where(flat, jj, BIGI).ravel(), BIGI)
-    jmax = seg("max", jnp.where(flat, jj, -1).ravel(), -1)
-    # bbox must not touch the array edge (dem_processing.py:413-415)
-    bbox_ok = (imin > 0) & (imax < n - 1) & (jmin > 0) & (jmax < m - 1)
-
-    # all border pixels exactly one above the region elevation
-    ok = jnp.ones(N + 1, bool)
+    # Inside-out border check (see fill_flats_device): at region pixel r a
+    # non-flat IN-GRID neighbor b is 'bad' unless b == rep + 1.  Out-of-grid
+    # neighbors contribute nothing (as in the reference, where they don't
+    # exist) — regions touching the array edge are excluded by the edge
+    # test below anyway.  One scatter instead of eight.
+    bad_local = jnp.zeros((n, m), bool)
     for di, dj in NEIGHBOR_OFFSETS:
-        q_lbl = shift(jnp.where(flat, lbl, N), di, dj, N)
-        q_rep = shift(rep, di, dj, jnp.nan)
-        is_border = (q_lbl < N) & ~flat
-        ids = jnp.where(is_border, q_lbl, N).ravel()
-        bad = is_border & ~(elev - 1 == q_rep)
-        ok = ok & ~(seg_or(bad.ravel().astype(jnp.int32), ids, N + 1) > 0)
+        b_e = shift(elev, di, dj, jnp.nan)
+        b_flat = shift(flat, di, dj, False)
+        in_grid = shift(jnp.ones((n, m), bool), di, dj, False)
+        nb = ~b_flat & in_grid
+        bad_local = bad_local | (nb & ~(b_e - 1 == rep))
 
-    raise_region = ok & bbox_ok & (cnt <= maximum_pit_area) & (cnt > 0)
+    edge = jnp.zeros((n, m), bool)
+    edge = edge.at[0, :].set(True).at[-1, :].set(True)
+    edge = edge.at[:, 0].set(True).at[:, -1].set(True)
+
+    cnt = _seg("sum", jnp.where(flat, 1, 0).ravel(), lbl_flat, N + 1, 0)
+    # bbox touches the array edge (dem_processing.py:413-415) iff some
+    # region pixel lies on the edge ring — one scatter replaces the four
+    # imin/imax/jmin/jmax reductions
+    edge_any = seg_or((flat & edge).ravel().astype(jnp.int32), lbl_flat,
+                      N + 1)
+    bad_any = seg_or((flat & bad_local).ravel().astype(jnp.int32), lbl_flat,
+                     N + 1)
+
+    raise_region = ((bad_any == 0) & (edge_any == 0)
+                    & (cnt <= maximum_pit_area) & (cnt > 0))
     inc = raise_region[lbl_flat].reshape(n, m) & flat
     return elev + inc.astype(elev.dtype)
 

@@ -277,7 +277,11 @@ def label_flood(mask, payload):
 
     def body(state):
         lbl, _changed = state
-        mins = sweep(lbl)
+        # 3 sweeps per hook round: a sweep is a ~2.6 ms fused stencil while
+        # hook+compress is ~30 ms of scatter/gather (TPU, 1M ids), so local
+        # propagation is nearly free and each hook round resolves more —
+        # the converged final iteration costs two extra cheap sweeps
+        mins = sweep(sweep(sweep(lbl)))
         changed = jnp.any(mins != lbl)
         lbl2 = jax.lax.cond(changed, hook_and_compress,
                             lambda a: a[0], (lbl, mins))
