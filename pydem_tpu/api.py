@@ -121,9 +121,14 @@ def _uca_chain_program(elev, section, proportion, flats, mag, dX2, dY2,
     Everything stays on device; only scalars and the small link triples
     crossed the host boundary."""
     if has_drained:
-        flats = flats.ravel().at[drained_idx].set(False).reshape(flats.shape)
+        # mode="drop": the packed device path marks invalid lanes with an
+        # out-of-bounds sentinel (n*m); the host path repeat-pads in-bounds
+        # indices (idempotent sets) — both are exact under drop semantics
+        flats = (flats.ravel().at[drained_idx].set(False, mode="drop")
+                 .reshape(flats.shape))
         mag = (mag.ravel().at[drained_idx]
-               .set(drained_mag.astype(mag.dtype)).reshape(mag.shape))
+               .set(drained_mag.astype(mag.dtype), mode="drop")
+               .reshape(mag.shape))
     W = receiver_weights(section, proportion, elev)
     base = base_area(dX2, dY2, elev.shape, elev.dtype)
     min_area = jnp.nanmin(base)
@@ -136,6 +141,15 @@ def _uca_chain_program(elev, section, proportion, flats, mag, dX2, dY2,
     area = finalize_uca(area, flats)
     edge_todo = seeds_and_edge_todo(W, section, elev)
     return area, n_sweeps, min_area, edge_todo, flats, mag
+
+
+@jax.jit
+def _apply_carve_delta(elev_d, idx, vals):
+    """Apply host-carved elevation changes as an index/value scatter —
+    bit-identical to re-uploading the carved canvas (unchanged pixels keep
+    their device values; changed pixels get the same cast the full upload
+    would apply)."""
+    return elev_d.ravel().at[idx].set(vals).reshape(elev_d.shape)
 
 
 @partial(jax.jit, static_argnames=("below_sea",))
@@ -620,16 +634,36 @@ class DEMProcessor:
             )
         if self.drain_pits_path and bool(_has_pits_program(
                 elev_d, below_sea=self.fill_flats_below_sea)):
-            # host carve round trip (2 canvas transfers) only when pits
-            # actually exist — the scalar pit check costs one RTT
+            # host carve round trip only when pits actually exist — the
+            # scalar pit check costs one RTT.  Downstream: full canvas (the
+            # carver needs global elevation); upstream: only the carved
+            # DELTA pixels go back as an index/value scatter — the carve
+            # touches O(pits · path length) pixels, so this replaces a
+            # canvas-sized upload with a ~100 KB one.
+            down = np.asarray(elev_d)
             elev_np = cond.drain_pit_paths(
-                np.asarray(elev_d), self.dX, self.dY,
+                down, self.dX, self.dY,
                 max_iter=self.drain_pits_max_iter,
                 max_dist=self.drain_pits_max_dist,
                 max_dist_XY=self.drain_pits_max_dist_XY,
                 below_sea=self.fill_flats_below_sea,
             )
-            elev_d = jnp.asarray(elev_np)
+            with np.errstate(invalid="ignore"):
+                # NaN != NaN is True; no-data pixels are never carved
+                changed = np.flatnonzero((elev_np != down)
+                                         & ~np.isnan(down))
+            if changed.size:
+                vals = elev_np.ravel()[changed].astype(down.dtype)
+                # shape-stable bucket; repeated entries are idempotent sets
+                cap = _bucket_floor(elev_d.size, divisor=64)
+                while cap < changed.size:
+                    cap *= 2
+                rep = cap - changed.size
+                idx = np.concatenate([changed,
+                                      np.repeat(changed[-1:], rep)])
+                vals = np.concatenate([vals, np.repeat(vals[-1:], rep)])
+                elev_d = _apply_carve_delta(elev_d, jnp.asarray(idx),
+                                            jnp.asarray(vals))
             self.__dict__["_np_elev"] = elev_np
             self.__dict__["_dev_elev"] = elev_d
         else:
@@ -643,7 +677,9 @@ class DEMProcessor:
             self._set_dev(k, v)
 
     def _calc_uca_device(self, fetch=True):
-        from .ops.pit_growth import pit_links_device
+        import warnings
+
+        from .ops.pit_growth import pit_links_device, pit_links_device_packed
 
         if self._dev("section") is None:
             self._slopes_device()
@@ -651,28 +687,47 @@ class DEMProcessor:
         if elev_d is None:
             elev_d = jnp.asarray(self.elev)
 
-        src, dst, wgt, drained_idx, drained_mag = pit_links_device(
-            self._dev("flats"), elev_d, self.dX, self.dY,
-            max_iter=self.drain_pits_max_iter,
-            max_dist=self.drain_pits_max_dist,
-            max_dist_XY=self.drain_pits_max_dist_XY,
-            min_border=self.drain_pits_min_border)
-        keep = wgt > 1e-8  # adjacency pruning, dem_processing.py:1136
-        src, dst, wgt = src[keep], dst[keep], wgt[keep]
-        has_pits = src.size > 0
-        floor = _bucket_floor(elev_d.size)
-        src, dst, wgt = _pad_pits(src, dst, wgt, floor=floor)
-        has_drained = drained_idx.size > 0
-        if has_drained:  # pad to a shape-stable bucket (recompile control);
-            # repeating real entries is idempotent for the set-scatters
-            cap = floor
-            while cap < drained_idx.size:
-                cap *= 2
-            rep = cap - drained_idx.size
-            drained_idx = np.concatenate(
-                [drained_idx, np.repeat(drained_idx[-1:], rep)])
-            drained_mag = np.concatenate(
-                [drained_mag, np.repeat(drained_mag[-1:], rep)])
+        kw = dict(max_iter=self.drain_pits_max_iter,
+                  max_dist=self.drain_pits_max_dist,
+                  max_dist_XY=self.drain_pits_max_dist_XY,
+                  min_border=self.drain_pits_min_border)
+        packed = pit_links_device_packed(self._dev("flats"), elev_d,
+                                         self.dX, self.dY, **kw)
+        if isinstance(packed, dict):
+            # device-resident links: nothing canvas- or link-sized crossed
+            # the host boundary (only the pit coords + a 3-scalar stats
+            # fetch inside pit_links_device_packed)
+            if packed["n_warn"]:
+                warnings.warn("%d pits had no place to drain to in this "
+                              "chunk" % packed["n_warn"])
+            src, dst, wgt = packed["src"], packed["dst"], packed["wgt"]
+            drained_idx = packed["drained_idx"]
+            drained_mag = packed["drained_mag"]
+            has_pits = has_drained = True
+        else:
+            if packed is None:  # no pits at all
+                z = np.zeros(0, "int64")
+                src, dst, wgt = z, z, np.zeros(0, "float64")
+                drained_idx, drained_mag = z, np.zeros(0, "float64")
+            else:  # "overflow": rare over-capacity pit -> exact host path
+                src, dst, wgt, drained_idx, drained_mag = pit_links_device(
+                    self._dev("flats"), elev_d, self.dX, self.dY, **kw)
+                keep = wgt > 1e-8  # pruning, dem_processing.py:1136
+                src, dst, wgt = src[keep], dst[keep], wgt[keep]
+            has_pits = src.size > 0
+            floor = _bucket_floor(elev_d.size)
+            src, dst, wgt = _pad_pits(src, dst, wgt, floor=floor)
+            has_drained = drained_idx.size > 0
+            if has_drained:  # shape-stable bucket (recompile control);
+                # repeating real entries is idempotent for the set-scatters
+                cap = floor
+                while cap < drained_idx.size:
+                    cap *= 2
+                rep = cap - drained_idx.size
+                drained_idx = np.concatenate(
+                    [drained_idx, np.repeat(drained_idx[-1:], rep)])
+                drained_mag = np.concatenate(
+                    [drained_mag, np.repeat(drained_mag[-1:], rep)])
 
         area, n_sweeps, min_area, edge_todo, flats2, mag2 = \
             _uca_chain_program(

@@ -160,6 +160,47 @@ def _grow_and_extract(elev, pits_bool, pit_i, pit_j, cdX, cdY, dX, dY,
     return jax.vmap(one)(drain, oi, oj, pit_i, pit_j, found)
 
 
+def _pit_batch_floor(n_px):
+    """Canvas-derived pit-batch bucket floor: the compile key must be a
+    function of canvas SHAPE for typical terrains (pit counts jitter across
+    power-of-two boundaries between perturbed reruns, and a vmapped-growth
+    recompile costs seconds on a remote-attached chip).  n_px/512 bounds the
+    post-conditioning pit density with margin; capped at 2048 lanes so the
+    growth windows stay cache-sized (larger pit sets run more chunks of the
+    same compiled program instead)."""
+    pb = 512
+    while pb < min(n_px // 512, 2048):
+        pb *= 2
+    return pb
+
+
+def _grow_batches(elev_d, pits_bool_d, pits, consts, max_dist_xy, W, K,
+                  max_iter, min_border, max_dist, has_xy):
+    """Run _grow_and_extract over power-of-two pit batches; returns the six
+    per-pit DEVICE arrays concatenated to the padded total PT >= P (padding
+    lanes repeat the last pit and must be masked by the caller)."""
+    P = len(pits)
+    PB = _pit_batch_floor(elev_d.size)
+    while PB < min(P, 2048):
+        PB *= 2
+    chunks = []
+    for p0 in range(0, P, PB):
+        batch = pits[p0: p0 + PB]
+        if len(batch) < PB:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], PB - len(batch), axis=0)])
+        chunks.append(_grow_and_extract(
+            elev_d, pits_bool_d, jnp.asarray(batch[:, 0]),
+            jnp.asarray(batch[:, 1]), *consts,
+            max_dist_xy, W=W, max_iter=max_iter,
+            min_border=min_border, K=K, max_dist=max_dist,
+            has_xy=has_xy))
+    if len(chunks) == 1:
+        return chunks[0]
+    return tuple(jnp.concatenate([c[i] for c in chunks])
+                 for i in range(6))
+
+
 def pit_links_device(flats_d, elev_d, dX, dY, max_iter=300, max_dist=32,
                      max_dist_XY=None, min_border=False, window=96,
                      link_capacity=48):
@@ -192,32 +233,14 @@ def pit_links_device(flats_d, elev_d, dX, dY, max_iter=300, max_dist=32,
     K = int(link_capacity)
     cdX = np.concatenate([[0.0], np.cumsum(dX)])
     cdY = np.concatenate([[0.0], np.cumsum(dY)])
-    # power-of-two pit batches (last pit repeated as padding): the vmapped
-    # program compiles once per (W, K, bucket) config — O(log P) compiles
-    # total, never per terrain — while small pit sets don't pay for a full
-    # 2048-lane batch
     P = len(pits)
-    PB = 512  # floor: pit counts that jitter around a small power of two
-    # (perturbed reruns) must not flip the compile key
-    while PB < min(P, 2048):
-        PB *= 2
     fdt = elev_d.dtype
     consts = (jnp.asarray(cdX, fdt), jnp.asarray(cdY, fdt),
               jnp.asarray(dX, fdt), jnp.asarray(dY, fdt))
-    chunks = []
-    for p0 in range(0, P, PB):
-        batch = pits[p0: p0 + PB]
-        if len(batch) < PB:
-            batch = np.concatenate(
-                [batch, np.repeat(batch[-1:], PB - len(batch), axis=0)])
-        chunks.append(_grow_and_extract(
-            elev_d, pits_bool_d, jnp.asarray(batch[:, 0]),
-            jnp.asarray(batch[:, 1]), *consts,
-            np.float64(max_dist_XY or 0.0), W=W, max_iter=max_iter,
-            min_border=min_border, K=K, max_dist=max_dist,
-            has_xy=bool(max_dist_XY)))
-    outs = [np.concatenate([np.asarray(c[i]) for c in chunks])[:P]
-            for i in range(6)]
+    grown = _grow_batches(elev_d, pits_bool_d, pits, consts,
+                          np.float64(max_dist_XY or 0.0), W, K, max_iter,
+                          min_border, max_dist, bool(max_dist_XY))
+    outs = [np.asarray(c)[:P] for c in grown]
     dst_d, wgt_d, valid_d, mean_s_d, ok_d, ndr_d = outs
 
     overflow = ndr_d > K
@@ -294,6 +317,148 @@ def pit_links_device(flats_d, elev_d, dX, dY, max_iter=300, max_dist=32,
         warnings.warn("%d pits had no place to drain to in this chunk"
                       % warn_pits)
     return src, dst, wgt, drained_src, drained_mean
+
+
+@partial(jax.jit, static_argnames=("PT",))
+def _pit_coords(pits_bool_d, p_count, PT):
+    """Pit (i, j) coordinates on device, padded to PT lanes.  Padding lanes
+    repeat the FIRST pit (a real pit converges its growth loop quickly;
+    an arbitrary fill pixel could drag the lockstep vmap for max_iter
+    rounds); callers mask them with a lane-validity test."""
+    n, m = pits_bool_d.shape
+    idx = jnp.nonzero(pits_bool_d.ravel(), size=PT, fill_value=0)[0]
+    idx = jnp.where(jnp.arange(PT) < p_count, idx, idx[0])
+    return idx // m, idx % m
+
+
+def _grow_batches_dev(elev_d, pits_bool_d, pit_i, pit_j, PB, consts,
+                      max_dist_xy, W, K, max_iter, min_border, max_dist,
+                      has_xy):
+    """Device-coordinate variant of _grow_batches: chunks the (PT,) pit
+    coordinate arrays into PB-lane calls of the same compiled program."""
+    PT = pit_i.shape[0]
+    chunks = []
+    for p0 in range(0, PT, PB):
+        chunks.append(_grow_and_extract(
+            elev_d, pits_bool_d, pit_i[p0: p0 + PB], pit_j[p0: p0 + PB],
+            *consts, max_dist_xy, W=W, max_iter=max_iter,
+            min_border=min_border, K=K, max_dist=max_dist, has_xy=has_xy))
+    if len(chunks) == 1:
+        return chunks[0]
+    return tuple(jnp.concatenate([c[i] for c in chunks])
+                 for i in range(6))
+
+
+def _link_bucket_floor(n_px):
+    """Canvas-derived link-count bucket floor (compile-key stability: the
+    compaction/solve programs must not recompile when the link count of a
+    perturbed rerun crosses a power of two).  n_px/256 bounds observed
+    post-conditioning link densities with ~2x margin."""
+    cap = 1024
+    while cap < n_px // 256:
+        cap *= 2
+    return cap
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _compact_links(src_b, dst_k, wgt_k, take, L):
+    """Compact the valid (pit, drain) link pairs to the front of static
+    (L,)-shaped arrays (padding entries carry weight 0 → no-ops in every
+    consumer).  All on device; nothing crosses the host boundary."""
+    PT, K = dst_k.shape
+    src_full = jnp.broadcast_to(src_b[:, None], (PT, K)).ravel()
+    dst_full = dst_k.ravel()
+    wgt_full = wgt_k.ravel()
+    take_full = take.ravel()
+    idx = jnp.nonzero(take_full, size=L, fill_value=PT * K)[0]
+    safe = jnp.clip(idx, 0, PT * K - 1)
+    good = idx < PT * K
+    src_l = jnp.where(good, src_full[safe], 0)
+    dst_l = jnp.where(good, dst_full[safe], 0)
+    wgt_l = jnp.where(good, wgt_full[safe], 0)
+    return src_l, dst_l, wgt_l
+
+
+def pit_links_device_packed(flats_d, elev_d, dX, dY, max_iter=300,
+                            max_dist=32, max_dist_XY=None, min_border=False,
+                            window=96, link_capacity=48):
+    """Fully device-resident pit-link search for the fast chain.
+
+    Same search as :func:`pit_links_device`, but the link triples and the
+    drained-pit updates STAY ON DEVICE — only the pit coordinate list (one
+    boolean canvas fetch) and a 3-scalar stats vector cross the host
+    boundary, instead of the six per-pit arrays (each fetch costing a
+    tunnel round trip on a remote-attached chip).
+
+    Returns ``None`` when the canvas has no pits, the string ``"overflow"``
+    when some pit exceeded the link capacity (caller falls back to the
+    exact host-assembly path), else a dict with device arrays:
+
+    - ``src, dst, wgt``: (L,) compacted link triples (L a canvas-stable
+      power-of-two bucket; padding entries have weight 0)
+    - ``drained_idx``: (PT,) flat indices of drained pits, sentinel n*m on
+      invalid lanes — consumers must scatter with ``mode='drop'``
+    - ``drained_mag``: (PT,) new slope magnitudes for those pits
+    - ``n_warn``: pits with nowhere to drain (for the reference's warning)
+    """
+    n, m = elev_d.shape
+    pits_bool_d = flats_d & (elev_d > 0)
+    # pit COUNT is the only coordinate information the host needs (it picks
+    # the chunk count); the coordinates themselves come from a device-side
+    # nonzero — one scalar RTT instead of a boolean-canvas download
+    P = int(jnp.sum(pits_bool_d))
+    if P == 0:
+        return None
+
+    dX = np.asarray(dX, "float64")
+    dY = np.asarray(dY, "float64")
+    W = int(min(window, n, m))
+    K = int(link_capacity)
+    cdX = np.concatenate([[0.0], np.cumsum(dX)])
+    cdY = np.concatenate([[0.0], np.cumsum(dY)])
+    fdt = elev_d.dtype
+    consts = (jnp.asarray(cdX, fdt), jnp.asarray(cdY, fdt),
+              jnp.asarray(dX, fdt), jnp.asarray(dY, fdt))
+
+    PB = _pit_batch_floor(elev_d.size)
+    while PB < min(P, 2048):
+        PB *= 2
+    nchunks = -(-P // PB)
+    PT = nchunks * PB
+    pit_i, pit_j = _pit_coords(pits_bool_d, jnp.asarray(P), PT)
+
+    dst_k, wgt_k, valid_k, mean_s, ok, ndr = _grow_batches_dev(
+        elev_d, pits_bool_d, pit_i, pit_j, PB, consts,
+        np.float64(max_dist_XY or 0.0), W, K, max_iter, min_border,
+        max_dist, bool(max_dist_XY))
+
+    lane = jnp.arange(PT) < jnp.asarray(P)   # mask the padding lanes
+    overflow = ndr > K
+    drained = lane & ok & ~overflow
+    # one small fetch: [valid link count, undrained count, overflow count]
+    take = (drained[:, None] & valid_k
+            & (wgt_k > 1e-8))  # adjacency pruning, dem_processing.py:1136
+    stats = np.asarray(jnp.stack([
+        jnp.sum(take).astype(jnp.int32),
+        jnp.sum(lane & ~ok & ~overflow).astype(jnp.int32),
+        jnp.sum(lane & overflow).astype(jnp.int32),
+    ]))
+    n_links, n_warn, n_overflow = (int(v) for v in stats)
+    if n_overflow:
+        return "overflow"
+
+    L = _link_bucket_floor(elev_d.size)
+    while L < n_links:
+        L *= 2
+    src_b = pit_i * m + pit_j
+    src_l, dst_l, wgt_l = _compact_links(
+        src_b, dst_k, wgt_k.astype(fdt), take, L)
+
+    sentinel = jnp.asarray(n * m, src_b.dtype)
+    drained_idx = jnp.where(drained, src_b, sentinel)
+    return {"src": src_l, "dst": dst_l, "wgt": wgt_l,
+            "drained_idx": drained_idx, "drained_mag": mean_s.astype(fdt),
+            "n_warn": n_warn, "n_links": n_links}
 
 
 def connectivity_pits_device(flats, elev, mag, dX, dY, max_iter=300,
