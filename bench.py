@@ -223,7 +223,43 @@ def bench_hard_terrain(n):
         dt, dp = run(i * 1e-7)
         times.append(dt)
     dt = float(np.median(times))
-    return n * n / dt, dt, dp
+    stages = bench_hard_stages(n, run)
+    return n * n / dt, dt, dp, stages
+
+
+def bench_hard_stages(n, run):
+    """One instrumented pass of the hard chain: per-stage wall time with a
+    host-fetch sync at every boundary (api._stage_probe).  The forced syncs
+    add tunnel RTTs the production fused chain does not pay, so the stage
+    sum slightly EXCEEDS the headline time — this is attribution, not the
+    record."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from pydem_tpu import api
+
+    rows = []
+    state = {"t": None}
+
+    def probe(name, val):
+        if val is not None:
+            float(jnp.sum(jnp.where(jnp.isfinite(val), val, 0)))
+        now = _time.perf_counter()
+        rows.append((name, now - state["t"]))
+        state["t"] = now
+
+    api._stage_probe = probe
+    try:
+        # two passes: the probe's own sync programs (a sum per stage
+        # shape/dtype) compile on first use — only the second pass is clean
+        for eps in (5e-7, 6e-7):
+            rows.clear()
+            state["t"] = _time.perf_counter()
+            run(eps)
+    finally:
+        api._stage_probe = None
+    return rows
 
 
 def bench_reference(n, hard=False):
@@ -506,6 +542,16 @@ def full_report(primary, hard, mark=lambda w: None):
                  "(%.2f s, vs reference on the same terrain: **%.1fx**)"
                  % (hard["n"], hard["px_per_s"] / 1e6, hard["seconds"],
                     hard["vs_baseline"] or 0))
+    if hard.get("stages"):
+        lines += ["", "### Hard-terrain per-stage breakdown (%d², one "
+                  "instrumented pass; per-stage host-fetch syncs add RTTs "
+                  "the fused production chain does not pay, so the sum "
+                  "exceeds the headline time)" % hard["n"], "",
+                  "| stage | time (s) |", "|---|---|"]
+        for name, t in hard["stages"]:
+            lines.append("| %s | %.4f |" % (name, t))
+        lines.append("| (sum) | %.4f |"
+                     % sum(t for _n, t in hard["stages"]))
     try:
         oocv, oocdt, oocr = bench_ooc()
         lines.append("- out-of-core engine (8192² logical, 4096² "
@@ -561,12 +607,13 @@ def main():
     baseline = _baseline("cone_%d_px_per_s" % N_REF, bench_reference, N_REF)
     vs = (value / baseline) if baseline else None
 
-    hard_v, hard_dt, _dp = bench_hard_terrain(N_HARD)
+    hard_v, hard_dt, _dp, hard_stages = bench_hard_terrain(N_HARD)
     mark("hard terrain done")
     hard_base = _baseline("hard_%d_px_per_s" % N_HARD, bench_reference,
                           N_HARD, hard=True)
     hard = {"n": N_HARD, "px_per_s": hard_v, "seconds": hard_dt,
-            "vs_baseline": (hard_v / hard_base) if hard_base else None}
+            "vs_baseline": (hard_v / hard_base) if hard_base else None,
+            "stages": hard_stages}
 
     primary = {
         "metric": "DEM grid-points/sec/chip, full chain slope+UCA(converged)+TWI, %d^2 cone, %s" % (N_TPU, platform),
@@ -587,10 +634,11 @@ def main():
                                              if hard["vs_baseline"] else None),
                 "reference_px_per_s": (round(hard_base) if hard_base
                                        else None),
-                # the hard chain is host<->device transfer bound (~17 MB of
-                # canvas traffic for conditioning's host-carve round trip);
-                # record the measured link bandwidth so day-to-day tunnel
-                # throughput changes are attributable
+                # per-stage attribution (instrumented pass; see REPORT.md)
+                "stages": [[s, round(t, 4)] for s, t in hard_stages],
+                # the hard chain still moves ~8 MB over the tunnel (elev up,
+                # carve down, twi down); record the measured link bandwidth
+                # so day-to-day tunnel throughput changes are attributable
                 "link_MBps": _link_bandwidth(),
             },
         },

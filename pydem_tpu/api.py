@@ -29,6 +29,16 @@ from .io.raw import read_raster_kwargs
 
 FLAT_ID_INT = -1
 
+# Bench instrumentation hook (bench.bench_hard_stages): when set, called at
+# device-chain stage boundaries as hook(name, array_to_sync_through_or_None).
+# None in production — the fast chain stays sync-free.
+_stage_probe = None
+
+
+def _probe(name, val=None):
+    if _stage_probe is not None:
+        _stage_probe(name, val)
+
 
 @jax.jit
 def _slope_program(elev, dX, dY):
@@ -621,6 +631,7 @@ class DEMProcessor:
     def _slopes_device(self):
         """Condition + slope/direction/flats/section on device."""
         elev_d = jnp.asarray(self.elev)
+        _probe("elev_upload", elev_d)
         if self.fill_flats:
             from .core.flats_device import fill_flats_device
 
@@ -632,6 +643,7 @@ class DEMProcessor:
                 below_sea=self.fill_flats_below_sea,
                 maximum_pit_area=self.maximum_pit_area,
             )
+            _probe("fill_flats_device", elev_d)
         if self.drain_pits_path and bool(_has_pits_program(
                 elev_d, below_sea=self.fill_flats_below_sea)):
             # host carve round trip only when pits actually exist — the
@@ -640,7 +652,9 @@ class DEMProcessor:
             # DELTA pixels go back as an index/value scatter — the carve
             # touches O(pits · path length) pixels, so this replaces a
             # canvas-sized upload with a ~100 KB one.
+            _probe("pit_gate")
             down = np.asarray(elev_d)
+            _probe("carve_download")
             elev_np = cond.drain_pit_paths(
                 down, self.dX, self.dY,
                 max_iter=self.drain_pits_max_iter,
@@ -648,6 +662,7 @@ class DEMProcessor:
                 max_dist_XY=self.drain_pits_max_dist_XY,
                 below_sea=self.fill_flats_below_sea,
             )
+            _probe("carve_host_kernel")
             with np.errstate(invalid="ignore"):
                 # NaN != NaN is True; no-data pixels are never carved
                 changed = np.flatnonzero((elev_np != down)
@@ -664,13 +679,16 @@ class DEMProcessor:
                 vals = np.concatenate([vals, np.repeat(vals[-1:], rep)])
                 elev_d = _apply_carve_delta(elev_d, jnp.asarray(idx),
                                             jnp.asarray(vals))
+            _probe("carve_delta_upload", elev_d)
             self.__dict__["_np_elev"] = elev_np
             self.__dict__["_dev_elev"] = elev_d
         else:
+            _probe("pit_gate")
             self._set_dev("elev", elev_d)
 
         mag, direction, flats, section, proportion = _pre_program(
             elev_d, jnp.asarray(self.dX), jnp.asarray(self.dY))
+        _probe("pre_program", section)
         for k, v in (("mag", mag), ("direction", direction),
                      ("flats", flats), ("section", section),
                      ("proportion", proportion)):
@@ -693,6 +711,8 @@ class DEMProcessor:
                   min_border=self.drain_pits_min_border)
         packed = pit_links_device_packed(self._dev("flats"), elev_d,
                                          self.dX, self.dY, **kw)
+        _probe("pit_links", None if not isinstance(packed, dict)
+               else packed["wgt"])
         if isinstance(packed, dict):
             # device-resident links: nothing canvas- or link-sized crossed
             # the host boundary (only the pit coords + a 3-scalar stats
@@ -709,7 +729,7 @@ class DEMProcessor:
                 z = np.zeros(0, "int64")
                 src, dst, wgt = z, z, np.zeros(0, "float64")
                 drained_idx, drained_mag = z, np.zeros(0, "float64")
-            else:  # "overflow": rare over-capacity pit -> exact host path
+            else:  # defensive host fallback (packed path covers all cases)
                 src, dst, wgt, drained_idx, drained_mag = pit_links_device(
                     self._dev("flats"), elev_d, self.dX, self.dY, **kw)
                 keep = wgt > 1e-8  # pruning, dem_processing.py:1136
@@ -740,6 +760,7 @@ class DEMProcessor:
                 self.uca_check_every, solver=self._resolved_solver(),
                 block_size=self.uca_block_size,
                 interpret=jax.devices()[0].platform != "tpu")
+        _probe("uca_solve", area)
         # keep the solve scalars device-resident: forcing them here would
         # stall the dispatch pipeline on a tunnel round trip before TWI can
         # even be enqueued — the lazy properties fold them on first host
@@ -979,8 +1000,11 @@ class DEMProcessor:
                 jnp.asarray(self.twi_min_slope, uca_d.dtype),
                 jnp.asarray(self.uca_saturation_limit, uca_d.dtype),
                 self.apply_twi_limits_on_uca, self.apply_twi_limits)
+            _probe("twi_program", twi10)
             self._set_dev("twi", twi10)
-            return np.asarray(twi10) / 10
+            out = np.asarray(twi10) / 10
+            _probe("twi_download")
+            return out
         min_area = self.twi_min_area
         min_slope = self.twi_min_slope
         twi = self.uca.copy()

@@ -46,7 +46,15 @@ def grow_pits(elev, pits_bool, pit_i, pit_j, W=96, max_iter=300,
     """Vectorized drainage search for all pits.
 
     elev, pits_bool: (n, m) canvas arrays; pit_i/pit_j: (P,) pit coords.
-    Returns (origin_i, origin_j, drain_mask (P, W, W), found (P,)).
+    Returns (origin_i, origin_j, drain_mask (P, W, W), found (P,),
+    clipped (P,)).
+
+    ``clipped`` marks pits whose grown region touched a window edge that is
+    NOT a canvas edge: their border was truncated by the window, so the
+    search may differ from an unclipped (larger-window) run.  A pit with
+    ``clipped == False`` saw its complete border at every step — its result
+    is EXACT for any window size, which is what makes a small-window first
+    tier with clipped-retry sound (see pit_links_device_packed).
     """
     n, m = elev.shape
     half = W // 2
@@ -100,11 +108,17 @@ def grow_pits(elev, pits_bool, pit_i, pit_j, W=96, max_iter=300,
 
         R0_state = (R0, jnp.zeros((W, W), bool), jnp.asarray(False),
                     jnp.int32(0))
-        _R, drain, found, _ = jax.lax.while_loop(cond, body, R0_state)
-        return drain, found
+        R_f, drain, found, _ = jax.lax.while_loop(cond, body, R0_state)
+        # window-clipped search: the region (monotone under growth) reached
+        # a window edge that is interior to the canvas
+        clipped = ((jnp.any(R_f[0, :]) & (oi_ > 0))
+                   | (jnp.any(R_f[-1, :]) & (oi_ + W < n))
+                   | (jnp.any(R_f[:, 0]) & (oj_ > 0))
+                   | (jnp.any(R_f[:, -1]) & (oj_ + W < m)))
+        return drain, found, clipped
 
-    drain, found = jax.vmap(one)(oi, oj, pit_i, pit_j)
-    return oi, oj, drain, found
+    drain, found, clipped = jax.vmap(one)(oi, oj, pit_i, pit_j)
+    return oi, oj, drain, found, clipped
 
 
 @partial(jax.jit, static_argnames=("W", "max_iter", "min_border", "K",
@@ -123,9 +137,10 @@ def _grow_and_extract(elev, pits_bool, pit_i, pit_j, cdX, cdY, dX, dY,
     n_drains (P,))`` — only O(P·K) scalars cross back to the host instead
     of the (P, W, W) masks."""
     n, m = elev.shape
-    oi, oj, drain, found = grow_pits(elev, pits_bool, pit_i, pit_j, W=W,
-                                     max_iter=max_iter,
-                                     min_border=min_border)
+    oi, oj, drain, found, _clipped = grow_pits(elev, pits_bool, pit_i,
+                                               pit_j, W=W,
+                                               max_iter=max_iter,
+                                               min_border=min_border)
     fdt = elev.dtype
 
     def one(drain_p, oi_, oj_, pi_, pj_, found_p):
@@ -263,7 +278,7 @@ def pit_links_device(flats_d, elev_d, dX, dY, max_iter=300, max_dist=32,
         while cap < len(idx):
             cap *= 2
         pidx = np.concatenate([idx, np.repeat(idx[-1:], cap - len(idx))])
-        oi, oj, drain_masks, found = jax.tree.map(np.asarray, grow_pits(
+        oi, oj, drain_masks, found, _cl = jax.tree.map(np.asarray, grow_pits(
             elev_d, pits_bool_d,
             jnp.asarray(pits[pidx, 0]), jnp.asarray(pits[pidx, 1]),
             W=W, max_iter=max_iter, min_border=min_border))
@@ -319,6 +334,94 @@ def pit_links_device(flats_d, elev_d, dX, dY, max_iter=300, max_dist=32,
     return src, dst, wgt, drained_src, drained_mean
 
 
+@partial(jax.jit, static_argnames=("W", "max_iter", "min_border",
+                                   "max_dist", "has_xy"))
+def _grow_extract_dense(elev, pits_bool, pit_i, pit_j, cdX, cdY, dX, dY,
+                        max_dist_xy, W=96, max_iter=300, min_border=False,
+                        max_dist=32, has_xy=False):
+    """Grow all pits and compute their drain-link quantities DENSELY on the
+    (P, W, W) windows — no per-lane nonzero extraction (a vmapped nonzero
+    measured ~3x the growth loop itself) and no per-pit link capacity.
+
+    Same distance/weight arithmetic as ``_grow_and_extract``
+    (dem_processing.py:1337-1357, 1993-1997), evaluated at every window
+    cell and masked by the drain set.  Returns per-window
+    ``(dst_flat (P,W,W), wgt (P,W,W), valid (P,W,W), mean_s (P,), ok (P,),
+    clipped (P,))`` — all device-resident; the caller compacts the valid
+    links with one global nonzero (:func:`_compact_dense`)."""
+    n, m = elev.shape
+    oi, oj, drain, found, clipped = grow_pits(elev, pits_bool, pit_i, pit_j,
+                                              W=W, max_iter=max_iter,
+                                              min_border=min_border)
+    fdt = elev.dtype
+    wi = jnp.arange(W)
+    Id = oi[:, None, None] + wi[None, :, None]
+    Jd = oj[:, None, None] + wi[None, None, :]
+    e_win = jax.vmap(lambda a, b: jax.lax.dynamic_slice(elev, (a, b),
+                                                        (W, W)))(oi, oj)
+    epit = elev[pit_i, pit_j][:, None, None]
+    pi3 = pit_i[:, None, None]
+    pj3 = pit_j[:, None, None]
+
+    valid = drain & found[:, None, None]
+    if max_dist:
+        valid &= ((pi3 - Id) ** 2 + (pj3 - Jd) ** 2
+                  <= max_dist * max_dist)
+    a = jnp.minimum(pi3, Id)
+    b = jnp.maximum(pi3, Id)
+    same = a == b
+    dx = jnp.where(same, dX[jnp.minimum(pi3, n - 2)],
+                   (cdX[b] - cdX[a]) / jnp.maximum(b - a, 1).astype(fdt))
+    dx = dx * (pj3 - Jd).astype(fdt)
+    dy = cdY[b] - cdY[a]
+    dxy = jnp.sqrt(dx * dx + dy * dy)
+    if has_xy:
+        valid &= dxy <= max_dist_xy
+    s = jnp.abs(epit - e_win) / jnp.where(dxy > 0, dxy, 1.0)
+    s = jnp.where(valid, s, 0.0)
+    ssum = jnp.sum(s, axis=(1, 2))
+    cnt = jnp.sum(valid, axis=(1, 2))
+    ok = found & (cnt > 0)
+    wgt = s / jnp.where(ssum > 0, ssum, 1.0)[:, None, None]
+    mean_s = ssum / jnp.maximum(cnt, 1).astype(fdt)
+    dst_flat = Id * m + Jd
+    return dst_flat, wgt, valid, mean_s, ok, clipped
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _compact_dense(take, wgt, dst_flat, src_b, L):
+    """Compact the valid (pit, drain) pairs of the dense windows into
+    static (L,)-shaped link triples (padding entries carry weight 0)."""
+    PT = take.shape[0]
+    WW = take.shape[1] * take.shape[2]
+    idx = jnp.nonzero(take.ravel(), size=L, fill_value=PT * WW)[0]
+    safe = jnp.clip(idx, 0, PT * WW - 1)
+    good = idx < PT * WW
+    lane = safe // WW
+    src_l = jnp.where(good, src_b[lane], 0)
+    dst_l = jnp.where(good, dst_flat.ravel()[safe], 0)
+    wgt_l = jnp.where(good, wgt.ravel()[safe], 0)
+    return src_l, dst_l, wgt_l
+
+
+def _grow_dense_batches(elev_d, pits_bool_d, pit_i, pit_j, PB, consts,
+                        max_dist_xy, W, max_iter, min_border, max_dist,
+                        has_xy):
+    """Chunk the (PT,) pit coordinates into PB-lane calls of the same
+    compiled dense-extract program."""
+    PT = pit_i.shape[0]
+    chunks = []
+    for p0 in range(0, PT, PB):
+        chunks.append(_grow_extract_dense(
+            elev_d, pits_bool_d, pit_i[p0: p0 + PB], pit_j[p0: p0 + PB],
+            *consts, max_dist_xy, W=W, max_iter=max_iter,
+            min_border=min_border, max_dist=max_dist, has_xy=has_xy))
+    if len(chunks) == 1:
+        return chunks[0]
+    return tuple(jnp.concatenate([c[i] for c in chunks])
+                 for i in range(6))
+
+
 @partial(jax.jit, static_argnames=("PT",))
 def _pit_coords(pits_bool_d, p_count, PT):
     """Pit (i, j) coordinates on device, padded to PT lanes.  Padding lanes
@@ -329,24 +432,6 @@ def _pit_coords(pits_bool_d, p_count, PT):
     idx = jnp.nonzero(pits_bool_d.ravel(), size=PT, fill_value=0)[0]
     idx = jnp.where(jnp.arange(PT) < p_count, idx, idx[0])
     return idx // m, idx % m
-
-
-def _grow_batches_dev(elev_d, pits_bool_d, pit_i, pit_j, PB, consts,
-                      max_dist_xy, W, K, max_iter, min_border, max_dist,
-                      has_xy):
-    """Device-coordinate variant of _grow_batches: chunks the (PT,) pit
-    coordinate arrays into PB-lane calls of the same compiled program."""
-    PT = pit_i.shape[0]
-    chunks = []
-    for p0 in range(0, PT, PB):
-        chunks.append(_grow_and_extract(
-            elev_d, pits_bool_d, pit_i[p0: p0 + PB], pit_j[p0: p0 + PB],
-            *consts, max_dist_xy, W=W, max_iter=max_iter,
-            min_border=min_border, K=K, max_dist=max_dist, has_xy=has_xy))
-    if len(chunks) == 1:
-        return chunks[0]
-    return tuple(jnp.concatenate([c[i] for c in chunks])
-                 for i in range(6))
 
 
 def _link_bucket_floor(n_px):
@@ -360,39 +445,26 @@ def _link_bucket_floor(n_px):
     return cap
 
 
-@partial(jax.jit, static_argnames=("L",))
-def _compact_links(src_b, dst_k, wgt_k, take, L):
-    """Compact the valid (pit, drain) link pairs to the front of static
-    (L,)-shaped arrays (padding entries carry weight 0 → no-ops in every
-    consumer).  All on device; nothing crosses the host boundary."""
-    PT, K = dst_k.shape
-    src_full = jnp.broadcast_to(src_b[:, None], (PT, K)).ravel()
-    dst_full = dst_k.ravel()
-    wgt_full = wgt_k.ravel()
-    take_full = take.ravel()
-    idx = jnp.nonzero(take_full, size=L, fill_value=PT * K)[0]
-    safe = jnp.clip(idx, 0, PT * K - 1)
-    good = idx < PT * K
-    src_l = jnp.where(good, src_full[safe], 0)
-    dst_l = jnp.where(good, dst_full[safe], 0)
-    wgt_l = jnp.where(good, wgt_full[safe], 0)
-    return src_l, dst_l, wgt_l
-
-
 def pit_links_device_packed(flats_d, elev_d, dX, dY, max_iter=300,
                             max_dist=32, max_dist_XY=None, min_border=False,
-                            window=96, link_capacity=48):
+                            window=96, first_window=64):
     """Fully device-resident pit-link search for the fast chain.
 
     Same search as :func:`pit_links_device`, but the link triples and the
-    drained-pit updates STAY ON DEVICE — only the pit coordinate list (one
-    boolean canvas fetch) and a 3-scalar stats vector cross the host
-    boundary, instead of the six per-pit arrays (each fetch costing a
-    tunnel round trip on a remote-attached chip).
+    drained-pit updates STAY ON DEVICE — only the pit count and a 3-scalar
+    stats vector cross the host boundary, instead of a boolean canvas plus
+    six per-pit arrays (each fetch costing a tunnel round trip on a
+    remote-attached chip).  Link assembly is dense over the growth windows
+    (no per-pit capacity, no vmapped nonzero).
 
-    Returns ``None`` when the canvas has no pits, the string ``"overflow"``
-    when some pit exceeded the link capacity (caller falls back to the
-    exact host-assembly path), else a dict with device arrays:
+    Two-tier windows: every pit first grows inside a ``first_window``
+    window (growth cost scales with W², and ~99% of real pits drain within
+    a few pixels); pits whose region touched a non-canvas window edge —
+    the EXACT condition under which a small window can differ from a large
+    one (see :func:`grow_pits`) — are regrown at ``window``.
+
+    Returns ``None`` when the canvas has no pits, else a dict with device
+    arrays:
 
     - ``src, dst, wgt``: (L,) compacted link triples (L a canvas-stable
       power-of-two bucket; padding entries have weight 0)
@@ -412,13 +484,15 @@ def pit_links_device_packed(flats_d, elev_d, dX, dY, max_iter=300,
 
     dX = np.asarray(dX, "float64")
     dY = np.asarray(dY, "float64")
-    W = int(min(window, n, m))
-    K = int(link_capacity)
+    W2 = int(min(window, n, m))
+    W1 = int(min(first_window, W2))
     cdX = np.concatenate([[0.0], np.cumsum(dX)])
     cdY = np.concatenate([[0.0], np.cumsum(dY)])
     fdt = elev_d.dtype
     consts = (jnp.asarray(cdX, fdt), jnp.asarray(cdY, fdt),
               jnp.asarray(dX, fdt), jnp.asarray(dY, fdt))
+    mdxy = np.float64(max_dist_XY or 0.0)
+    has_xy = bool(max_dist_XY)
 
     PB = _pit_batch_floor(elev_d.size)
     while PB < min(P, 2048):
@@ -426,35 +500,68 @@ def pit_links_device_packed(flats_d, elev_d, dX, dY, max_iter=300,
     nchunks = -(-P // PB)
     PT = nchunks * PB
     pit_i, pit_j = _pit_coords(pits_bool_d, jnp.asarray(P), PT)
+    src_b = pit_i * m + pit_j
 
-    dst_k, wgt_k, valid_k, mean_s, ok, ndr = _grow_batches_dev(
-        elev_d, pits_bool_d, pit_i, pit_j, PB, consts,
-        np.float64(max_dist_XY or 0.0), W, K, max_iter, min_border,
-        max_dist, bool(max_dist_XY))
+    dst_w, wgt_w, valid_w, mean_s, ok, clipped = _grow_dense_batches(
+        elev_d, pits_bool_d, pit_i, pit_j, PB, consts, mdxy, W1, max_iter,
+        min_border, max_dist, has_xy)
 
     lane = jnp.arange(PT) < jnp.asarray(P)   # mask the padding lanes
-    overflow = ndr > K
-    drained = lane & ok & ~overflow
-    # one small fetch: [valid link count, undrained count, overflow count]
-    take = (drained[:, None] & valid_k
-            & (wgt_k > 1e-8))  # adjacency pruning, dem_processing.py:1136
+    retry = lane & clipped
+    drained = lane & ok & ~clipped
+    # adjacency pruning (dem_processing.py:1136) inside take
+    take = drained[:, None, None] & valid_w & (wgt_w > 1e-8)
     stats = np.asarray(jnp.stack([
         jnp.sum(take).astype(jnp.int32),
-        jnp.sum(lane & ~ok & ~overflow).astype(jnp.int32),
-        jnp.sum(lane & overflow).astype(jnp.int32),
+        jnp.sum(lane & ~ok & ~clipped).astype(jnp.int32),
+        jnp.sum(retry).astype(jnp.int32),
     ]))
-    n_links, n_warn, n_overflow = (int(v) for v in stats)
-    if n_overflow:
-        return "overflow"
+    n_links, n_warn, n_retry = (int(v) for v in stats)
 
     L = _link_bucket_floor(elev_d.size)
     while L < n_links:
         L *= 2
-    src_b = pit_i * m + pit_j
-    src_l, dst_l, wgt_l = _compact_links(
-        src_b, dst_k, wgt_k.astype(fdt), take, L)
-
+    src_l, dst_l, wgt_l = _compact_dense(take, wgt_w.astype(fdt), dst_w,
+                                         src_b, L)
     sentinel = jnp.asarray(n * m, src_b.dtype)
+
+    if n_retry:
+        # tier 2: regrow the clipped pits at the full window; their tier-1
+        # results are discarded (take excluded clipped lanes already)
+        RB = 512
+        while RB < n_retry:
+            RB *= 2
+        lanes2 = jnp.nonzero(retry, size=RB, fill_value=PT)[0]
+        safe = jnp.clip(lanes2, 0, PT - 1)
+        good = lanes2 < PT
+        pi2 = jnp.where(good, pit_i[safe], pit_i[0])
+        pj2 = jnp.where(good, pit_j[safe], pit_j[0])
+        dst2, wgt2, valid2, mean2, ok2, _cl2 = _grow_extract_dense(
+            elev_d, pits_bool_d, pi2, pj2, *consts, mdxy, W=W2,
+            max_iter=max_iter, min_border=min_border, max_dist=max_dist,
+            has_xy=has_xy)
+        take2 = (good & ok2)[:, None, None] & valid2 & (wgt2 > 1e-8)
+        stats2 = np.asarray(jnp.stack([
+            jnp.sum(take2).astype(jnp.int32),
+            jnp.sum(good & ~ok2).astype(jnp.int32),
+        ]))
+        n_links2, n_warn2 = (int(v) for v in stats2)
+        n_warn += n_warn2
+        L2 = _link_bucket_floor(elev_d.size)
+        while L2 < n_links2:
+            L2 *= 2
+        src_b2 = pi2 * m + pj2
+        s2, d2, w2 = _compact_dense(take2, wgt2.astype(fdt), dst2,
+                                    src_b2, L2)
+        src_l = jnp.concatenate([src_l, s2])
+        dst_l = jnp.concatenate([dst_l, d2])
+        wgt_l = jnp.concatenate([wgt_l, w2])
+        # fold tier-2 drained pits into the lane-indexed update arrays
+        drained = drained.at[safe].max(good & ok2)
+        mean_s = mean_s.at[safe].set(jnp.where(good & ok2, mean2,
+                                               mean_s[safe]))
+        n_links += n_links2
+
     drained_idx = jnp.where(drained, src_b, sentinel)
     return {"src": src_l, "dst": dst_l, "wgt": wgt_l,
             "drained_idx": drained_idx, "drained_mag": mean_s.astype(fdt),

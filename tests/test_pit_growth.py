@@ -70,6 +70,71 @@ def test_window_large_enough_matches_host():
     assert not d_flats[row, c0]
 
 
+def test_packed_two_tier_retry_matches_wide_window():
+    """A pit whose growth frontier wanders past the first-tier window but
+    inside the full window: the packed path must detect the clipped search
+    and regrow at the full window, producing the same links as a direct
+    full-window run (and the same as the host reference)."""
+    import jax.numpy as jnp
+
+    from pydem_tpu.ops.pit_growth import pit_links_device_packed
+
+    # channel 40 px long: beyond first_window=16's half-width, inside
+    # window=96's search
+    elev, flats, mag, d, row, c0, drain_col = _long_channel(n=128,
+                                                            drain_col=44)
+    n = elev.shape[0]
+    out = pit_links_device_packed(jnp.asarray(flats), jnp.asarray(elev),
+                                  d, d, max_iter=300, max_dist=300,
+                                  first_window=16, window=96)
+    wgt = np.asarray(out["wgt"])
+    src = np.asarray(out["src"])[wgt > 0]
+    dst = np.asarray(out["dst"])[wgt > 0]
+    assert list(src) == [row * n + c0]
+    assert list(dst) == [row * n + drain_col]
+    np.testing.assert_allclose(wgt[wgt > 0], [1.0])
+    didx = np.asarray(out["drained_idx"])
+    assert row * n + c0 in didx[didx < n * n]
+    assert out["n_warn"] == 0
+
+
+def test_packed_matches_legacy_on_fixture():
+    """pit_links_device_packed link set == the host-array device path on a
+    pit-dense fixture (covers the dense extraction + compaction)."""
+    import jax.numpy as jnp
+
+    from pydem_tpu.ops.pit_growth import pit_links_device, \
+        pit_links_device_packed
+
+    n = 64
+    x, y = np.mgrid[0:n, 0:n]
+    elev = 2 + 0.01 * x + 0.013 * y
+    for (i, j) in ((10, 10), (20, 45), (40, 20), (50, 50), (30, 30)):
+        elev[i, j] -= 0.5  # isolated pits
+    # conditioning off so the pits survive to the connectivity stage
+    dp = DEMProcessor(elev=elev, fill_flats=False, drain_pits_path=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dp.calc_slopes_directions()
+        assert (dp.flats & (dp.elev > 0)).sum() > 0  # fixture has pits
+        legacy = pit_links_device(jnp.asarray(dp.flats),
+                                  jnp.asarray(dp.elev), dp.dX, dp.dY)
+        packed = pit_links_device_packed(jnp.asarray(dp.flats),
+                                         jnp.asarray(dp.elev), dp.dX, dp.dY)
+    l_src, l_dst, l_w = legacy[0], legacy[1], legacy[2]
+    keep = l_w > 1e-8
+    l_src, l_dst, l_w = l_src[keep], l_dst[keep], l_w[keep]
+    wgt = np.asarray(packed["wgt"])
+    p_src = np.asarray(packed["src"])[wgt > 0]
+    p_dst = np.asarray(packed["dst"])[wgt > 0]
+    p_w = wgt[wgt > 0]
+    lo = np.lexsort((l_dst, l_src))
+    po = np.lexsort((p_dst, p_src))
+    np.testing.assert_array_equal(l_src[lo], p_src[po])
+    np.testing.assert_array_equal(l_dst[lo], p_dst[po])
+    np.testing.assert_array_almost_equal(l_w[lo], p_w[po])
+
+
 @pytest.mark.parametrize("testnum", CASES)
 def test_device_matches_host(testnum):
     elev, _a, _u = fixtures.get_test_case(testnum, 32)
