@@ -451,9 +451,14 @@ def bench_stages(n):
     return out
 
 
-def bench_ooc(n=8192, superblock=4096):
+def bench_ooc(n=8192, superblock=4096, device_cache_bytes=None):
     """Out-of-core engine throughput at an n² logical canvas (store-backed,
-    bounded memory)."""
+    bounded memory).
+
+    ``device_cache_bytes=None`` uses the real-device-memory default (on a
+    16 GB chip an 8192² canvas fits whole → the spill-to-HBM fused path);
+    a small explicit budget forces the true streaming regime (super-blocks
+    round-tripping through the store every GS round)."""
     import shutil
     import tempfile
     import warnings
@@ -479,16 +484,33 @@ def bench_ooc(n=8192, superblock=4096):
                 store.write_window("elev_src", blk + 1.05, (i0, j0))
         ones_f = np.ones(n - 1)
         ones_p = np.ones(n)
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            eng = OutOfCoreEngine(store, (n, n), ones_f, ones_f, ones_p,
-                                  ones_p, superblock=superblock,
-                                  dem_proc_kwargs={"fill_flats": False,
-                                                   "drain_pits_path": False})
-            t0 = time.perf_counter()
-            eng.run()
-            dt = time.perf_counter() - t0
-        return n * n / dt, dt, eng.uca_rounds
+        from pydem_tpu.profiling import StageTimer
+
+        out = []
+        # two passes in one process: axon compiles are not disk-cacheable,
+        # so the first pass carries the one-time program compiles; the
+        # second is the steady-state number.  Both are reported.
+        for attempt in range(2):
+            for key in ("elev", "slope", "aspect", "flats", "uca_state",
+                        "uca", "twi"):
+                store.delete(key)
+            timer = StageTimer()
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                eng = OutOfCoreEngine(
+                    store, (n, n), ones_f, ones_f, ones_p, ones_p,
+                    superblock=superblock,
+                    dem_proc_kwargs={"fill_flats": False,
+                                     "drain_pits_path": False},
+                    device_cache_bytes=device_cache_bytes, timer=timer)
+                mode = ("spill-to-HBM" if eng._fits_device_resident()
+                        else "streaming")
+                t0 = time.perf_counter()
+                eng.run()
+                dt = time.perf_counter() - t0
+            out.append((n * n / dt, dt, eng.uca_rounds, mode,
+                        timer.report()))
+        return out[1] + (out[0][1],)  # warm metrics + cold seconds
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -552,16 +574,37 @@ def full_report(primary, hard, mark=lambda w: None):
             lines.append("| %s | %.4f |" % (name, t))
         lines.append("| (sum) | %.4f |"
                      % sum(t for _n, t in hard["stages"]))
+    def _ooc_line(label, **kw):
+        v, dt, r, mode, stages, cold_dt = bench_ooc(**kw)
+        st = ", ".join("%s %.0fs" % (k, s) for k, s in stages.items())
+        lines.append("- out-of-core engine, %s (8192² logical, 4096² "
+                     "super-blocks, store-backed, %s path): **%.1f Mpx/s** "
+                     "warm (%.1f s; first run incl. one-time axon program "
+                     "compiles: %.1f s; %d UCA rounds; stages: %s)"
+                     % (label, mode, v / 1e6, dt, cold_dt, r, st))
+        return v
+
     try:
-        oocv, oocdt, oocr = bench_ooc()
-        lines.append("- out-of-core engine (8192² logical, 4096² "
-                     "super-blocks, store-backed): **%.1f Mpx/s** (%.1f s, "
-                     "%d UCA rounds) — 1/%.0f of the in-HBM rate"
-                     % (oocv / 1e6, oocdt, oocr,
-                        max(primary["value"] / max(oocv, 1.0), 1.0)))
+        # regime 1: real-device-memory budget -> the 8192² canvas fits a
+        # 16 GB chip whole (spill-to-HBM fused path, zero per-round host IO)
+        oocv = _ooc_line("device-memory budget")
+        lines.append("  (1/%.0f of the in-HBM rate — the remaining cost is "
+                     "~1.4 GB of canvas traffic over the axon tunnel, not "
+                     "engine rounds)"
+                     % max(primary["value"] / max(oocv, 1.0), 1.0))
     except Exception as e:
-        lines.append("- out-of-core bench failed: %r" % e)
-    mark("report: out-of-core done")
+        lines.append("- out-of-core bench (device budget) failed: %r" % e)
+    mark("report: out-of-core (device budget) done")
+    try:
+        # regime 2: 2 GiB budget -> the canvas does NOT fit; true streaming
+        # (per-block static windows still device-cached, state rings
+        # round-trip through the store each round) — the regime the engine
+        # exists for on canvases larger than HBM
+        _ooc_line("2 GiB budget (forced streaming)",
+                  device_cache_bytes=2 << 30)
+    except Exception as e:
+        lines.append("- out-of-core bench (streaming) failed: %r" % e)
+    mark("report: out-of-core (streaming) done")
     try:
         lines.extend(bench_stages(N_TPU))
     except Exception as e:

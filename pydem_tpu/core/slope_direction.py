@@ -295,7 +295,7 @@ def label_flood(mask, payload):
     return lbl, rep
 
 
-def find_flats_edges(elev, mag, direction=None):
+def find_flats_edges(elev, mag, direction=None, flood=None):
     """Extend flats one pixel downstream (dem_processing.py:657-680).
 
     For each flat region (mag == -1), pixels 8-adjacent to the region become
@@ -303,11 +303,15 @@ def find_flats_edges(elev, mag, direction=None):
     (first pixel in scan order).  The reference assigns region-by-region in
     label order so the highest label adjacent to a pixel wins; reproduced by
     taking the max adjacent (label, rep) pair.
+
+    ``flood``: alternative ``(mask, payload) -> (lbl, rep)`` labeling
+    implementation (e.g. ``parallel.sharded.label_flood_sharded`` on a
+    device mesh); None uses the global :func:`label_flood`.
     """
     from .stencil import NEIGHBOR_OFFSETS
 
     flat = mag == FLAT_ID_INT
-    lbl, rep = label_flood(flat, elev)
+    lbl, rep = (flood or label_flood)(flat, elev)
 
     NEG = jnp.int32(-1)
     lbl_m = jnp.where(flat, lbl, NEG)

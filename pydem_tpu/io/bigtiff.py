@@ -100,11 +100,16 @@ class TiledTiffWriter:
                 lv["cnts"][k] = len(raw)
                 self._f.write(raw)
 
-    def build_overviews(self, factors, read_window, slab_bytes=32 << 20):
-        """Stream a 3^k-style pyramid: overview rows are mean-downsampled
-        from full-width source slabs fetched via ``read_window(rows, cols)``
-        (a chunk-granular store read).  Peak memory is bounded by
-        ``slab_bytes`` regardless of raster or factor size."""
+    def build_overviews(self, factors, read_window, slab_bytes=32 << 20,
+                        method="mean"):
+        """Stream a 3^k-style pyramid: overview rows are downsampled with
+        ``method`` (mean/average, nearest, bilinear, cubic — io.resample;
+        the reference's rasterio Resampling surface) from full-width source
+        slabs fetched via ``read_window(rows, cols)`` (a chunk-granular
+        store read).  Peak memory is bounded by ``slab_bytes`` regardless
+        of raster or factor size."""
+        from .resample import downsample_rows
+
         t = self.tile
         n_src, m_src = self.shape
         for f in factors:
@@ -118,9 +123,8 @@ class TiledTiffWriter:
             i0 = 0
             while i0 < n:
                 nr = min(rps, n - i0)
-                band = read_window((i0 * f, (i0 + nr) * f), (0, m * f))
-                with np.errstate(invalid="ignore"):
-                    ov = np.nanmean(band.reshape(nr, f, m, f), axis=(1, 3))
+                ov = downsample_rows(read_window, f, method, i0, i0 + nr,
+                                     n_src, m * f)
                 if self.nodata is not None:
                     ov = np.where(np.isnan(ov), self.nodata, ov)
                 if i0 % t:

@@ -95,6 +95,12 @@ class ArrayStore:
         with open(meta_fn, "w") as f:
             json.dump(meta, f)
 
+    def delete(self, name):
+        """Remove an array (directory + metadata); silent if absent."""
+        import shutil
+
+        shutil.rmtree(self._adir(name), ignore_errors=True)
+
     def _meta(self, name):
         with open(os.path.join(self._adir(name), ".zarray")) as f:
             return json.load(f)

@@ -77,3 +77,59 @@ def test_sharded_blocked_solver(testnum, mesh_shape):
         np.testing.assert_array_almost_equal(
             np.asarray(single[key]), np.asarray(multi[key]), decimal=10,
             err_msg="%s mismatch on mesh %s" % (key, mesh_shape))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (2, 2), (1, 2)])
+def test_label_flood_sharded_matches_global(mesh_shape):
+    """label_flood_sharded (local CC + halo id-adoption rounds) must produce
+    the exact labels and reps of the global label_flood on a flats-heavy
+    quantized canvas — including regions spanning many shards."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pydem_tpu.core.flats_device import _flat_mask
+    from pydem_tpu.core.slope_direction import label_flood
+
+    n = 64
+    x, y = np.mgrid[-1:1:complex(0, n), -1:1:complex(0, n)]
+    elev = 1 - np.hypot(x, y) / np.sqrt(2.0)
+    elev = np.floor((elev - elev.min() + 0.05) * 8.0) / 8.0  # ring flats
+    elev_d = jnp.asarray(elev)
+    mask = _flat_mask(elev_d, False)
+
+    lbl_g, rep_g = label_flood(mask, elev_d)
+
+    mesh = sharded.make_mesh(shape=mesh_shape)
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P("y", "x")))
+    elev_s = jax.device_put(elev_d, NamedSharding(mesh, P("y", "x")))
+    lbl_s, rep_s = sharded.label_flood_sharded(mask_s, elev_s, mesh)
+
+    np.testing.assert_array_equal(np.asarray(lbl_g), np.asarray(lbl_s))
+    np.testing.assert_array_equal(np.nan_to_num(np.asarray(rep_g)),
+                                  np.nan_to_num(np.asarray(rep_s)))
+
+
+def test_terrain_pre_sharded_flood_matches():
+    """terrain_pre(mesh=...) (sharded flood inside find_flats_edges) ==
+    terrain_pre without a mesh, elementwise."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = 64
+    elev, _a, _u = fixtures.get_test_case(16, n)  # flats-bearing fixture
+    elev_d = jnp.asarray(np.asarray(elev))
+    ones_f = jnp.ones(n - 1, elev_d.dtype)
+    ones_p = jnp.ones(n, elev_d.dtype)
+    ref = sharded.terrain_pre(elev_d, ones_f, ones_f, ones_p, ones_p)
+
+    mesh = sharded.make_mesh(shape=(2, 4))
+    elev_s = jax.device_put(elev_d, NamedSharding(mesh, P("y", "x")))
+    rep = [jax.device_put(v, NamedSharding(mesh, P()))
+           for v in (ones_f, ones_f, ones_p, ones_p)]
+    out = sharded.terrain_pre(elev_s, *rep, mesh=mesh)
+    for a, b, name in zip(ref, out, ("mag", "dir", "flats", "W", "base")):
+        np.testing.assert_array_equal(np.isnan(np.asarray(a)),
+                                      np.isnan(np.asarray(b)), err_msg=name)
+        np.testing.assert_array_almost_equal(
+            np.nan_to_num(np.asarray(a)), np.nan_to_num(np.asarray(b)),
+            err_msg=name)
