@@ -275,13 +275,18 @@ def label_flood(mask, payload):
                             big)
         return lbl
 
+    # Sweeps per hook round: on TPU a sweep is a ~2.6 ms fused stencil
+    # while hook+compress is ~30 ms of scatter/gather (1M ids), so batching
+    # 3 sweeps makes each hook round resolve more for near-free; on CPU the
+    # scatter/gathers are cheap relative to sweeps and batching LOSES
+    # (measured 4x on the mesh-scaling fixture) — decided at trace time.
+    n_sweeps = 3 if jax.default_backend() == "tpu" else 1
+
     def body(state):
         lbl, _changed = state
-        # 3 sweeps per hook round: a sweep is a ~2.6 ms fused stencil while
-        # hook+compress is ~30 ms of scatter/gather (TPU, 1M ids), so local
-        # propagation is nearly free and each hook round resolves more —
-        # the converged final iteration costs two extra cheap sweeps
-        mins = sweep(sweep(sweep(lbl)))
+        mins = lbl
+        for _ in range(n_sweeps):
+            mins = sweep(mins)
         changed = jnp.any(mins != lbl)
         lbl2 = jax.lax.cond(changed, hook_and_compress,
                             lambda a: a[0], (lbl, mins))

@@ -742,14 +742,21 @@ def measure_halo_overlap(base, W, mesh, rounds=8, B=None, interpret=None):
     for mode in ("exchange", "relax", "full"):
         prog = mk(mode)
         float(prog(base, W))  # compile + warm
-        t0 = time.perf_counter()
-        float(prog(base, W))
-        out["t_%s_per_round" % mode] = (time.perf_counter() - t0) / rounds
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(prog(base, W))
+            best = min(best, time.perf_counter() - t0)
+        out["t_%s_per_round" % mode] = best / rounds
     te, tr, tf = (out["t_exchange_per_round"], out["t_relax_per_round"],
                   out["t_full_per_round"])
     denom = min(te, tr)
-    out["overlap_fraction"] = max(0.0, min(1.0, (te + tr - tf) / denom
-                                           if denom > 0 else 0.0))
+    if denom < 0.05 * tf:
+        # the cheaper phase is inside measurement noise of the full round:
+        # an overlap fraction would be dividing noise by noise
+        out["overlap_fraction"] = None
+    else:
+        out["overlap_fraction"] = max(0.0, min(1.0, (te + tr - tf) / denom))
     out["overlap_rounds_timed"] = rounds
     return out
 

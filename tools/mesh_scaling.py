@@ -60,8 +60,9 @@ def main():
           "| t_relax (s) | t_round (s) | overlap |")
     print("|---|---|---|---|---|---|---|---|")
     for nd, shape, r, hb, te, tr, tf, ov in rows:
-        print("| %d | %dx%d | %d | %d | %.4f | %.4f | %.4f | %.2f |"
-              % (nd, shape[0], shape[1], r, hb, te, tr, tf, ov))
+        print("| %d | %dx%d | %d | %d | %.4f | %.4f | %.4f | %s |"
+              % (nd, shape[0], shape[1], r, hb, te, tr, tf,
+                 "n/a" if ov is None else "%.2f" % ov))
 
     # label_flood under sharding (the one non-stencil op in the pipeline:
     # its hook/compress phases lower to cross-shard scatter/gathers on
@@ -74,15 +75,25 @@ def main():
     from pydem_tpu.core.flats_device import _flat_mask
     from pydem_tpu.core.slope_direction import label_flood
 
+    from pydem_tpu.parallel.sharded import label_flood_sharded
+
     eq = jnp.floor(elev * 8.0) / 8.0  # quantize -> flats-heavy
-    prog = jax.jit(lambda e: label_flood(_flat_mask(e, False), e)[0])
     print()
-    print("| devices | mesh | flat px | label_flood (s) |")
-    print("|---|---|---|---|")
+    print("| devices | mesh | flat px | flood impl | label_flood (s) |")
+    print("|---|---|---|---|---|")
     for nd in (1, 8):
         shape = {1: (1, 1), 8: (2, 4)}[nd]
         mesh = Mesh(np.asarray(devs[:nd]).reshape(shape), ("y", "x"))
         e_s = jax.device_put(eq, NamedSharding(mesh, P("y", "x")))
+        if nd == 1:  # production: the global flood on one device
+            prog = jax.jit(lambda e: label_flood(_flat_mask(e, False),
+                                                 e)[0])
+            impl = "global"
+        else:  # production: terrain_pre(mesh=...) routes to the sharded
+            # local-CC + halo-adoption flood (no cross-shard scatters)
+            prog = jax.jit(lambda e: label_flood_sharded(
+                _flat_mask(e, False), e, mesh)[0])
+            impl = "sharded"
         out = prog(e_s)
         jax.block_until_ready(out)
         best = np.inf
@@ -91,8 +102,8 @@ def main():
             jax.block_until_ready(prog(e_s))
             best = min(best, time.perf_counter() - t0)
         nflat = int(_flat_mask(eq, False).sum())
-        print("| %d | %dx%d | %d | %.4f |"
-              % (nd, shape[0], shape[1], nflat, best))
+        print("| %d | %dx%d | %d | %s | %.4f |"
+              % (nd, shape[0], shape[1], nflat, impl, best))
 
 
 if __name__ == "__main__":
