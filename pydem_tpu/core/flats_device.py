@@ -80,12 +80,12 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
     # ---- per-region border statistics --------------------------------
     # Inside-out formulation: each REGION pixel r aggregates its non-flat
     # neighbors b with a cheap fused VPU stencil (drain: b == rep; source
-    # candidates: b > rep), then ONE segment reduction per statistic keyed
-    # on r's own label.  Equivalent to reducing over border pixels per
-    # adjacent region (every (border b, region R) adjacency appears as some
-    # (r in R, neighbor b) pair; min/or are duplication-insensitive), but
-    # 2 segment scatters instead of 16 — TPU scatters at 1M ids cost ~10 ms
-    # each and dominated this stage.
+    # candidates: b > rep), then segment reductions keyed on r's own label.
+    # Equivalent to reducing over border pixels per adjacent region (every
+    # (border b, region R) adjacency appears as some (r in R, neighbor b)
+    # pair; min/or are duplication-insensitive), replacing 16 per-offset
+    # segment scatters — TPU scatters at 1M ids cost ~10 ms each and
+    # dominated this stage.
     INF = jnp.asarray(jnp.inf, data.dtype)
     drain_local = jnp.zeros((n, m), bool)
     src_local = jnp.full((n, m), INF)
@@ -103,17 +103,18 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
     edge = edge.at[0, :].set(True).at[-1, :].set(True)
     edge = edge.at[:, 0].set(True).at[:, -1].set(True)
 
-    # stage-1 segment reductions (6 scatters; packing them into one
-    # offset-id scatter measured SLOWER — segment-op cost scales with
-    # num_segments), results packed into one float table so the per-pixel
-    # broadcast is one row gather instead of 6 scalar gathers
+    # stage-1 segment reductions (6 scatters — separate: BOTH offset-id
+    # packing (num_segments multiplies) and column packing ((n·m, k)
+    # values; TPU scatter rows don't vectorize) measured SLOWER), results
+    # packed into one float table so the per-pixel broadcast is one row
+    # gather instead of 6 scalar gathers
     fdt = data.dtype
     src_min = _seg("min", jnp.where(flat, src_local, INF).ravel(),
                    lbl_flat, N + 1, INF)
-    ones_f = jnp.where(flat, 1, 0).ravel().astype(fdt)
     drain_s = _seg("sum", (flat & drain_local).ravel().astype(fdt),
                    lbl_flat, N + 1, 0)
-    count_s = _seg("sum", ones_f, lbl_flat, N + 1, 0)
+    count_s = _seg("sum", jnp.where(flat, 1, 0).ravel().astype(fdt),
+                   lbl_flat, N + 1, 0)
     si_s = _seg("sum", jnp.where(flat, ii, 0).ravel().astype(fdt),
                 lbl_flat, N + 1, 0)
     sj_s = _seg("sum", jnp.where(flat, jj, 0).ravel().astype(fdt),
@@ -121,7 +122,8 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
     edge_s = _seg("sum", (flat & edge).ravel().astype(fdt),
                   lbl_flat, N + 1, 0)
 
-    ftbl = jnp.stack([src_min, si_s, sj_s, count_s, drain_s, edge_s], axis=1)
+    ftbl = jnp.stack([src_min, si_s, sj_s, count_s, drain_s, edge_s],
+                     axis=1)
     fg = ftbl[lbl_flat].reshape(n, m, 6)
     esrc_of = fg[..., 0]
     si_of, sj_of = fg[..., 1], fg[..., 2]
@@ -265,14 +267,13 @@ def fill_flats_device(elev, source_tol=1, fill_peaks=True, fill_pits=True,
             (dA0, dB0, arrA0, arrB0, jnp.int32(0), jnp.asarray(True)))
 
         # Freeze sweep per region per distance = its last arrival (the
-        # reference breaks out of get_distance then).  One packed segment
-        # reduction + one row gather for both distances.
-        ids2 = jnp.concatenate([lbl_flat, lbl_flat + (N + 1)])
-        vals2 = jnp.concatenate([jnp.where(flat, arrivalA, -1).ravel(),
-                                 jnp.where(flat, arrivalB, -1).ravel()])
-        T2 = _seg("max", vals2, ids2, 2 * (N + 1), -1)
-        ttbl = T2.reshape(2, N + 1).T
-        tg = ttbl[lbl_flat].reshape(n, m, 2)
+        # reference breaks out of get_distance then); one row gather
+        # broadcasts both back.
+        TA = _seg("max", jnp.where(flat, arrivalA, -1).ravel(), lbl_flat,
+                  N + 1, -1)
+        TB = _seg("max", jnp.where(flat, arrivalB, -1).ravel(), lbl_flat,
+                  N + 1, -1)
+        tg = jnp.stack([TA, TB], axis=1)[lbl_flat].reshape(n, m, 2)
         TA_px, TB_px = tg[..., 0], tg[..., 1]
 
         # Phase B (pure stencil): rerun, capturing each pixel's value at its
@@ -351,19 +352,15 @@ def _fill_pit_artifacts(elev, below_sea, maximum_pit_area):
     # bbox touches the array edge (dem_processing.py:413-415) iff some
     # region pixel lies on the edge ring — one scatter replaces the four
     # imin/imax/jmin/jmax reductions
-    edge_any = seg_or((flat & edge).ravel().astype(jnp.int32), lbl_flat,
-                      N + 1)
-    bad_any = seg_or((flat & bad_local).ravel().astype(jnp.int32), lbl_flat,
-                     N + 1)
+    edge_any = _seg("max", (flat & edge).ravel().astype(jnp.int32),
+                    lbl_flat, N + 1, 0)
+    bad_any = _seg("max", (flat & bad_local).ravel().astype(jnp.int32),
+                   lbl_flat, N + 1, 0)
 
     raise_region = ((bad_any == 0) & (edge_any == 0)
                     & (cnt <= maximum_pit_area) & (cnt > 0))
     inc = raise_region[lbl_flat].reshape(n, m) & flat
     return elev + inc.astype(elev.dtype)
-
-
-def seg_or(vals, ids, num):
-    return jax.ops.segment_max(vals, ids, num_segments=num)
 
 
 def _flat_mask_no_corner_exclusion(elev, below_sea):
