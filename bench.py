@@ -441,7 +441,14 @@ def bench_stages(n):
            "block visit vs ~16 µs of DMA — measured by inner_max capping), "
            "so cutting bytes further (done: 8 weight planes → 2 compact "
            "planes) does not move wall time; the bound is the relaxation "
-           "math itself.", ""]
+           "math itself.  Directional in-VMEM sweeps were evaluated and "
+           "NOT adopted: strip-serialized Gauss-Seidel measured 20% "
+           "slower (small-op loop overhead at strip heights short enough "
+           "to help), and scan-based line relaxation costs ~1.5 "
+           "sweep-equivalents per application (log B steps x 3 ops vs a "
+           "sweep's 16), so outer-rounds x (sweep + 2 scans) lands back "
+           "in the same 25-50 sweep-equivalent budget the frozen-halo "
+           "Jacobi loop already spends.", ""]
     hdr_end = out.index("|---|---|---|---|---|") + 1
     for name, t, mb in rows:
         gbs = mb / 1e3 / t

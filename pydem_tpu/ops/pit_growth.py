@@ -78,6 +78,10 @@ def grow_pits(elev, pits_bool, pit_i, pit_j, W=96, max_iter=300,
 
         def body(state):
             R, drain, found, it = state
+            # `live` gates state changes so the body is an exact no-op once
+            # found or past max_iter — running extra batched calls cannot
+            # change the result (same drains, same stopping iteration)
+            live = ~found & (it < max_iter)
             border = _dilate(R) & ~R
             eb = jnp.where(border, e, INF)
             emin = jnp.min(eb)
@@ -93,14 +97,22 @@ def grow_pits(elev, pits_bool, pit_i, pit_j, W=96, max_iter=300,
                 take_nb, nb & (e < epit_border),
                 jnp.where(take_pb, pb & (e < epit),
                           jnp.zeros_like(border)))
-            done_now = take_nb | take_pb
+            done_now = (take_nb | take_pb) & live
 
             grow = border & (e == emin)
-            R_next = jnp.where(done_now, R, R | grow)
+            R_next = jnp.where(done_now | ~live, R, R | grow)
             # stall (no growth, no drain) ends the search undrained
-            stalled = ~done_now & ~jnp.any(grow)
+            stalled = live & ~done_now & ~jnp.any(grow)
             return (R_next, jnp.where(done_now, new_drain, drain),
-                    found | done_now, jnp.where(stalled, max_iter, it + 1))
+                    found | done_now,
+                    jnp.where(stalled, max_iter,
+                              it + live.astype(jnp.int32)))
+
+        def body2(state):
+            # two growth steps per convergence check: the check itself is
+            # a cross-lane reduce whose cost rivals a step; extra steps
+            # past a lane's stopping point are no-ops (see `live`)
+            return body(body(state))
 
         def cond(state):
             _R, _d, found, it = state
@@ -108,7 +120,7 @@ def grow_pits(elev, pits_bool, pit_i, pit_j, W=96, max_iter=300,
 
         R0_state = (R0, jnp.zeros((W, W), bool), jnp.asarray(False),
                     jnp.int32(0))
-        R_f, drain, found, _ = jax.lax.while_loop(cond, body, R0_state)
+        R_f, drain, found, _ = jax.lax.while_loop(cond, body2, R0_state)
         # window-clipped search: the region (monotone under growth) reached
         # a window edge that is interior to the canvas
         clipped = ((jnp.any(R_f[0, :]) & (oi_ > 0))
