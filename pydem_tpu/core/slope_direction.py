@@ -261,6 +261,15 @@ def label_flood(mask, payload):
             new_lbl = jnp.minimum(new_lbl, shift(lbl, di, dj, big))
         return jnp.where(mask, new_lbl, big)
 
+    # TPU: sweeps are ~2.6 ms fused stencils while every scatter/gather is
+    # ~10 ms at 1M ids, so spend MORE sweeps (5) and FEWER compress gathers
+    # (1) per hook round — measured best of the (sweeps, compress) grid on
+    # the quantized 1024² fixture.  CPU: scatters/gathers are cheap
+    # relative to sweeps; the classic 1-sweep/2-compress shape wins.
+    on_tpu = jax.default_backend() == "tpu"
+    n_sweeps = 5 if on_tpu else 1
+    n_compress = 1 if on_tpu else 2
+
     def hook_and_compress(args):
         lbl, mins = args
         lf = lbl.ravel()
@@ -269,18 +278,11 @@ def label_flood(mask, payload):
         tgt = jnp.where(mask_flat, lf, N)
         parent = parent.at[tgt].min(mins.ravel())
         lbl = jnp.where(mask, parent[:N].reshape(n, m), big)
-        for _ in range(2):  # compress: lbl <- lbl[lbl]
+        for _ in range(n_compress):  # compress: lbl <- lbl[lbl]
             f = lbl.ravel()
             lbl = jnp.where(mask, f[jnp.clip(f, 0, N - 1)].reshape(n, m),
                             big)
         return lbl
-
-    # Sweeps per hook round: on TPU a sweep is a ~2.6 ms fused stencil
-    # while hook+compress is ~30 ms of scatter/gather (1M ids), so batching
-    # 3 sweeps makes each hook round resolve more for near-free; on CPU the
-    # scatter/gathers are cheap relative to sweeps and batching LOSES
-    # (measured 4x on the mesh-scaling fixture) — decided at trace time.
-    n_sweeps = 3 if jax.default_backend() == "tpu" else 1
 
     def body(state):
         lbl, _changed = state
