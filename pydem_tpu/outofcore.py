@@ -429,7 +429,11 @@ class OutOfCoreEngine:
 
     def _gather_canvas(self, name, dtype, fill=0):
         """Stream store windows up into a (sharded) device canvas — host
-        never holds more than one S² window."""
+        never holds more than two S² windows (the next window is read from
+        the store on a thread while the current one uploads over the
+        device link)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         np_, mp_, sh = self._padded_dims()
         upd = jax.jit(
             lambda c, b, i, j: jax.lax.dynamic_update_slice(c, b, (i, j)),
@@ -439,19 +443,40 @@ class OutOfCoreEngine:
         else:
             c = jax.jit(lambda: jnp.full((np_, mp_), fill, dtype),
                         out_shardings=sh)()
-        for bi, bj in self._blocks():
-            (i0, i1), (j0, j1) = self._interior(bi, bj)
-            w = self.store.read_window(name, (i0, i1), (j0, j1))
-            c = upd(c, jnp.asarray(np.asarray(w, dtype)), i0, j0)
+        blocks = list(self._blocks())
+
+        def read(b):
+            (i0, i1), (j0, j1) = self._interior(*b)
+            return np.asarray(
+                self.store.read_window(name, (i0, i1), (j0, j1)), dtype)
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(read, blocks[0])
+            for k, (bi, bj) in enumerate(blocks):
+                w = nxt.result()
+                if k + 1 < len(blocks):
+                    nxt = ex.submit(read, blocks[k + 1])
+                (i0, _i1), (j0, _j1) = self._interior(bi, bj)
+                c = upd(c, jnp.asarray(w), i0, j0)
         return c
 
     def _scatter_canvas(self, name, dev, dtype=None, fill=np.nan):
-        """Stream a device canvas down into store windows."""
+        """Stream a device canvas down into store windows (the previous
+        window's store write runs on a thread while the next downloads)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         self._create(name, dtype or self._work_dtype, fill=fill)
-        for bi, bj in self._blocks():
-            (i0, i1), (j0, j1) = self._interior(bi, bj)
-            self.store.write_window(name, np.asarray(dev[i0:i1, j0:j1]),
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = None
+            for bi, bj in self._blocks():
+                (i0, i1), (j0, j1) = self._interior(bi, bj)
+                w = np.asarray(dev[i0:i1, j0:j1])
+                if pending is not None:
+                    pending.result()
+                pending = ex.submit(self.store.write_window, name, w,
                                     (i0, j0))
+            if pending is not None:
+                pending.result()
 
     def _uca_device_resident(self, state_fn, elev=None, direction=None,
                              flats=None):
