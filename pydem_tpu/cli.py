@@ -99,6 +99,10 @@ def process(argv=None):
                         "holding one canvas (bounded host memory)")
     p.add_argument("--superblock", type=int, default=4096,
                    help="out-of-core super-block size (pixels)")
+    p.add_argument("--resampling", default="mean",
+                   choices=("mean", "average", "nearest", "bilinear",
+                            "cubic"),
+                   help="overview-pyramid resampling method")
     args = p.parse_args(argv)
     from .manager import ProcessManager
 
@@ -106,7 +110,8 @@ def process(argv=None):
                         resume=args.resume, out_of_core=args.out_of_core,
                         superblock=args.superblock)
     pm.process_twi()
-    written = pm.save_non_overlap_data_geotiff(args.out)
+    written = pm.save_non_overlap_data_geotiff(args.out,
+                                               resampling=args.resampling)
     for fn in written:
         print("wrote", fn)
 

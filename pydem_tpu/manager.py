@@ -620,7 +620,8 @@ class ProcessManager:
         return dst
 
     def save_non_overlap_data_geotiff(self, out_path=None, keys=None,
-                                      overview_factors=(3, 9, 27)):
+                                      overview_factors=(3, 9, 27),
+                                      resampling="mean"):
         """GeoTIFF export + mean-downsampled overview pyramid (factors 3^k,
         the reference's scheme at :786-931).
 
@@ -639,7 +640,8 @@ class ProcessManager:
                 continue
             fn = os.path.join(out_path, key + ".tif")
             self.save_geotiff_tiled(key, fn,
-                                    overview_factors=overview_factors)
+                                    overview_factors=overview_factors,
+                                    resampling=resampling)
             written.append(fn)
         return written
 
