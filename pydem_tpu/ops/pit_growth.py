@@ -14,10 +14,17 @@ accepted drains must lie within ``drain_pits_max_dist`` (default 32) pixels
 of the pit, so a window of 96 is exact unless the min-elevation frontier
 wanders further than 48 px before draining — a documented approximation
 (growth that hits the window edge marks the pit undrained, like the
-reference's empty-border break).
+reference's empty-border break).  The fast chain runs a 64-px first tier
+and regrows exactly the pits whose region touched a non-canvas window edge
+(``clipped``) at 96 px — tier-1 acceptances saw their complete border at
+every step and are therefore identical to full-window runs.
 
-Returns boolean drain masks per pit; link weights/filters are assembled on
-host (trivial work proportional to the number of pits).
+Two consumers: :func:`pit_links_device` assembles host link arrays (the
+compat path used by ``connectivity_pits_device``); the fast chain uses
+:func:`pit_links_device_packed`, whose link triples and drained-pit
+updates stay on device — dense per-window link math plus one global
+nonzero compaction, with only the pit count and a 3-scalar stats vector
+crossing the host boundary.
 """
 from __future__ import annotations
 
