@@ -9,7 +9,7 @@ canvases.
 __version__ = "0.1.0"
 
 from .api import DEMProcessor  # noqa: F401
-from . import fixtures, geometry  # noqa: F401
+from . import fixtures, geometry, utils  # noqa: F401
 
 # reference-compatible module aliases (pydem exposes process_manager and
 # utils_test_pydem at the package root, reference __init__.py:16-18)
