@@ -697,7 +697,7 @@ class DEMProcessor:
     def _calc_uca_device(self, fetch=True):
         import warnings
 
-        from .ops.pit_growth import pit_links_device, pit_links_device_packed
+        from .ops.pit_growth import pit_links_device_packed
 
         if self._dev("section") is None:
             self._slopes_device()
@@ -724,30 +724,13 @@ class DEMProcessor:
             drained_idx = packed["drained_idx"]
             drained_mag = packed["drained_mag"]
             has_pits = has_drained = True
-        else:
-            if packed is None:  # no pits at all
-                z = np.zeros(0, "int64")
-                src, dst, wgt = z, z, np.zeros(0, "float64")
-                drained_idx, drained_mag = z, np.zeros(0, "float64")
-            else:  # defensive host fallback (packed path covers all cases)
-                src, dst, wgt, drained_idx, drained_mag = pit_links_device(
-                    self._dev("flats"), elev_d, self.dX, self.dY, **kw)
-                keep = wgt > 1e-8  # pruning, dem_processing.py:1136
-                src, dst, wgt = src[keep], dst[keep], wgt[keep]
-            has_pits = src.size > 0
-            floor = _bucket_floor(elev_d.size)
-            src, dst, wgt = _pad_pits(src, dst, wgt, floor=floor)
-            has_drained = drained_idx.size > 0
-            if has_drained:  # shape-stable bucket (recompile control);
-                # repeating real entries is idempotent for the set-scatters
-                cap = floor
-                while cap < drained_idx.size:
-                    cap *= 2
-                rep = cap - drained_idx.size
-                drained_idx = np.concatenate(
-                    [drained_idx, np.repeat(drained_idx[-1:], rep)])
-                drained_mag = np.concatenate(
-                    [drained_mag, np.repeat(drained_mag[-1:], rep)])
+        else:  # packed is None: no pits at all
+            z = np.zeros(0, "int64")
+            wgt = np.zeros(0, "float64")
+            src, dst, wgt = _pad_pits(z, z, wgt,
+                                      floor=_bucket_floor(elev_d.size))
+            drained_idx, drained_mag = z, np.zeros(0, "float64")
+            has_pits = has_drained = False
 
         area, n_sweeps, min_area, edge_todo, flats2, mag2 = \
             _uca_chain_program(

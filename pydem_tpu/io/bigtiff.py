@@ -123,8 +123,11 @@ class TiledTiffWriter:
             i0 = 0
             while i0 < n:
                 nr = min(rps, n - i0)
+                # full source width (not the trimmed m*f): the interpolating
+                # kernels' edge clamp must match the in-core downsample(),
+                # which sees remainder columns beyond m*f
                 ov = downsample_rows(read_window, f, method, i0, i0 + nr,
-                                     n_src, m * f)
+                                     n_src, m_src)
                 if self.nodata is not None:
                     ov = np.where(np.isnan(ov), self.nodata, ov)
                 if i0 % t:

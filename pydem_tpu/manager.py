@@ -532,7 +532,12 @@ class ProcessManager:
         # didn't use it).  Stage-by-stage calls (process_elevation, ...)
         # keep the host-global behavior for API parity.
         if self.out_of_core or self.mesh is not None:
-            return self._process_twi_out_of_core()
+            out = self._process_twi_out_of_core()
+            if self.out_of_core:
+                return out  # store handle: never materialize the canvas
+            # mesh-without-out_of_core keeps the in-core return contract
+            # (the TWI array) — the canvas is in-core sized by assumption
+            return self.out_file["twi"]
         if self.grid_shape is None:
             self.compute_grid()
         self._success_init()

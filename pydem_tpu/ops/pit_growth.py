@@ -546,19 +546,23 @@ def pit_links_device_packed(flats_d, elev_d, dX, dY, max_iter=300,
 
     if n_retry:
         # tier 2: regrow the clipped pits at the full window; their tier-1
-        # results are discarded (take excluded clipped lanes already)
+        # results are discarded (take excluded clipped lanes already).
+        # Bounded exactly like tier 1: the retry batch caps at 2048 lanes
+        # and larger sets run more chunks of the same compiled program —
+        # a pathological all-clipped terrain must not OOM or recompile per
+        # retry-count power of two.
         RB = 512
-        while RB < n_retry:
+        while RB < min(n_retry, 2048):
             RB *= 2
-        lanes2 = jnp.nonzero(retry, size=RB, fill_value=PT)[0]
+        RT = -(-n_retry // RB) * RB
+        lanes2 = jnp.nonzero(retry, size=RT, fill_value=PT)[0]
         safe = jnp.clip(lanes2, 0, PT - 1)
         good = lanes2 < PT
         pi2 = jnp.where(good, pit_i[safe], pit_i[0])
         pj2 = jnp.where(good, pit_j[safe], pit_j[0])
-        dst2, wgt2, valid2, mean2, ok2, _cl2 = _grow_extract_dense(
-            elev_d, pits_bool_d, pi2, pj2, *consts, mdxy, W=W2,
-            max_iter=max_iter, min_border=min_border, max_dist=max_dist,
-            has_xy=has_xy)
+        dst2, wgt2, valid2, mean2, ok2, _cl2 = _grow_dense_batches(
+            elev_d, pits_bool_d, pi2, pj2, RB, consts, mdxy, W2, max_iter,
+            min_border, max_dist, has_xy)
         take2 = (good & ok2)[:, None, None] & valid2 & (wgt2 > 1e-8)
         stats2 = np.asarray(jnp.stack([
             jnp.sum(take2).astype(jnp.int32),
@@ -575,10 +579,14 @@ def pit_links_device_packed(flats_d, elev_d, dX, dY, max_iter=300,
         src_l = jnp.concatenate([src_l, s2])
         dst_l = jnp.concatenate([dst_l, d2])
         wgt_l = jnp.concatenate([wgt_l, w2])
-        # fold tier-2 drained pits into the lane-indexed update arrays
-        drained = drained.at[safe].max(good & ok2)
-        mean_s = mean_s.at[safe].set(jnp.where(good & ok2, mean2,
-                                               mean_s[safe]))
+        # fold tier-2 drained pits into the lane-indexed update arrays.
+        # mode="drop": padding lanes carry the out-of-bounds sentinel PT and
+        # are DROPPED — clipping them to PT-1 would collide with (and could
+        # clobber) a real retried pit at the last lane, since .set with
+        # duplicate indices is order-undefined.
+        drained = drained.at[lanes2].max(ok2, mode="drop")
+        mean_s = mean_s.at[lanes2].set(
+            jnp.where(ok2, mean2, mean_s[safe]), mode="drop")
         n_links += n_links2
 
     drained_idx = jnp.where(drained, src_b, sentinel)

@@ -76,7 +76,8 @@ def run_global(local_rows, dX, dY, dX2=None, dY2=None, mesh=None,
     rep = sharded.replicated(mesh)
     args = [jax.device_put(v, rep) for v in (dX, dY, dX2, dY2)]
     if uca_solver == "blocked" and n_sweeps is None:
-        mag, direction, flats, W, base = sharded.terrain_pre(elev, *args)
+        mag, direction, flats, W, base = sharded.terrain_pre(elev, *args,
+                                                             mesh=mesh)
         area, rounds = sharded.sharded_uca(base, W, mesh,
                                            uca_solver="blocked")
         uca, twi = sharded.terrain_post(area, flats, mag, base)

@@ -74,7 +74,8 @@ def time_grow(W, label):
         pi = jnp.asarray(batch[:, 0])
         pj = jnp.asarray(batch[:, 1])
         t0 = time.perf_counter()
-        oi, oj, drain, found = grow_pits(elev_d, pits_bool, pi, pj, W=W)
+        oi, oj, drain, found, _clip = grow_pits(elev_d, pits_bool, pi, pj,
+                                                W=W)
         s = float(jnp.sum(found)) + float(jnp.sum(drain))
         dt = time.perf_counter() - t0
         if k:  # first is compile
